@@ -1,0 +1,235 @@
+"""Shared vectorized primitives for all codecs.
+
+Everything here is pure NumPy — no Spark imports — so the kernels are
+unit-testable and benchmarkable standalone (SURVEY.md §7.0).
+
+Design notes vs the reference (hypersonic-rle-kit):
+  * The reference frames every compressed stream with a small header
+    carrying uncompressedLength/compressedLength
+    (/root/reference/src/rleX_extreme_cpu_encode.h:21-24) and validates
+    it on decode (/root/reference/src/rleX_extreme_cpu.h:87-91). Our
+    analogue is `pack_sections`: explicit little-endian section lengths
+    so a decoder never reads past the declared payload — this is what
+    makes the tail-scramble property (/root/reference/src/main.c:942-948)
+    hold by construction.
+  * The reference's SIMD dispatch (cpuid -> AVX2/SSE kernels,
+    /root/reference/src/rleX_extreme_cpu.h:52-59) maps to NumPy
+    vectorization here: every loop below is over *segments*, never over
+    elements.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"RSPK"
+FORMAT_VERSION = 1
+
+# ---------------------------------------------------------------------------
+# section container
+# ---------------------------------------------------------------------------
+
+
+def pack_sections(parts: list[bytes]) -> bytes:
+    """Frame a list of byte sections with explicit lengths.
+
+    Layout: [u16 n][u64 len_0 ... len_{n-1}][payload_0 ... payload_{n-1}].
+    Trailing garbage after the declared lengths is ignored by
+    `unpack_sections` (tail-scramble safety).
+    """
+    header = struct.pack("<H", len(parts)) + b"".join(
+        struct.pack("<Q", len(p)) for p in parts
+    )
+    return header + b"".join(parts)
+
+
+def unpack_sections(buf: bytes | memoryview) -> list[memoryview]:
+    mv = memoryview(buf)
+    (n,) = struct.unpack_from("<H", mv, 0)
+    lens = struct.unpack_from(f"<{n}Q", mv, 2)
+    out = []
+    off = 2 + 8 * n
+    for ln in lens:
+        out.append(mv[off : off + ln])
+        off += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bit packing (the F10/bitpack.h analogue, generalized to any width 0..64)
+# ---------------------------------------------------------------------------
+
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent values in [0, max_value]."""
+    if max_value < 0:
+        raise ValueError("bit_width over negative max")
+    return int(max_value).bit_length()
+
+
+def _container_bytes(width: int) -> int:
+    for c in (1, 2, 4, 8):
+        if width <= 8 * c:
+            return c
+    raise ValueError(f"width {width} > 64")
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers into `width` bits each (MSB-first).
+
+    Reference precedent: the 2/3/4/8-bit block packing of rle8_mmtf128
+    (/root/reference/src/rle8_mmtf.c:45-149, src/bitpack.h) — ours is the
+    general-width version used by dict/FOR/delta/RLE sub-streams.
+
+    Implementation rides np.unpackbits/np.packbits (C kernels): values
+    are viewed big-endian in the smallest 1/2/4/8-byte container, the
+    container's bit matrix is sliced to the low `width` columns and
+    re-packed. Byte-multiple widths skip the bit matrix entirely.
+    """
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    c = _container_bytes(width)
+    v = np.ascontiguousarray(values, dtype=f">u{c}")
+    if width == 8 * c:
+        return v.tobytes()
+    bits = np.unpackbits(v.view(np.uint8)).reshape(n, 8 * c)
+    return np.packbits(bits[:, 8 * c - width:]).tobytes()
+
+
+def unpack_bits(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of pack_bits -> uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    c = _container_bytes(width)
+    if width == 8 * c:
+        return np.frombuffer(buf, dtype=f">u{c}", count=n).astype(np.uint64)
+    total_bits = n * width
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(total_bits + 7) // 8)
+    bits = np.unpackbits(raw, count=total_bits).reshape(n, width)
+    full = np.zeros((n, 8 * c), dtype=np.uint8)
+    full[:, 8 * c - width:] = bits
+    return (np.frombuffer(np.packbits(full.ravel()).tobytes(), dtype=f">u{c}",
+                          count=n).astype(np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# integer sub-stream: frame-of-reference + bit-pack (used by every codec)
+# ---------------------------------------------------------------------------
+
+
+def pack_ints(arr: np.ndarray) -> bytes:
+    """Encode an int array: [i64 min][u8 width][u64 n][bit-packed deltas].
+
+    This is the frame-of-reference primitive: subtract min, bit-pack the
+    non-negative remainders at the minimal width. Works for any int64
+    range whose span fits in < 2^63.
+    """
+    a = np.asarray(arr)
+    if a.dtype != np.int64:
+        # unsafe cast == two's-complement reinterpretation for uint64 —
+        # all arithmetic below is mod 2^64, so roundtrip stays exact
+        a = a.astype(np.int64)
+    a = np.ascontiguousarray(a)
+    n = len(a)
+    if n == 0:
+        return struct.pack("<qBQ", 0, 0, 0)
+    lo = int(a.min())
+    span = int(a.max()) - lo  # python ints: no overflow even for full range
+    w = bit_width(span)
+    payload = pack_bits((a - np.int64(lo)).view(np.uint64), w)
+    return struct.pack("<qBQ", lo, w, n) + payload
+
+
+def unpack_ints(buf: bytes | memoryview) -> np.ndarray:
+    mv = memoryview(buf)
+    lo, w, n = struct.unpack_from("<qBQ", mv, 0)
+    vals = unpack_bits(mv[17:], w, n).view(np.int64)
+    return vals + np.int64(lo)
+
+
+def pack_ints_size(n: int, lo: int, hi: int) -> int:
+    """Exact encoded size of pack_ints for n values spanning [lo, hi]."""
+    if n == 0:
+        return 17
+    return 17 + (n * bit_width(hi - lo) + 7) // 8
+
+
+# ---------------------------------------------------------------------------
+# segment expansion (the vectorized memcpy/memset decode pipeline —
+# reference analogue: /root/reference/src/rleX_extreme_cpu_decode.h:27-164)
+# ---------------------------------------------------------------------------
+
+
+def inner_offsets(lens: np.ndarray) -> np.ndarray:
+    """For segments with the given lengths, return the concatenated
+    0..len_i-1 ranges: [0,1,..,l0-1, 0,1,..,l1-1, ...]."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def scatter_segments(dest: np.ndarray, dest_starts: np.ndarray,
+                     lens: np.ndarray, values: np.ndarray) -> None:
+    """dest[dest_starts[i] : dest_starts[i]+lens[i]] = next lens[i] items
+    of `values`, for all segments at once (vectorized gather/scatter)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if lens.sum() == 0:
+        return
+    pos = np.repeat(np.asarray(dest_starts, dtype=np.int64), lens) + inner_offsets(lens)
+    dest[pos] = values
+
+
+def fill_runs(dest: np.ndarray, dest_starts: np.ndarray,
+              lens: np.ndarray, run_values: np.ndarray) -> None:
+    """dest[dest_starts[i] : +lens[i]] = run_values[i] (vectorized memset)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if len(lens) == 0 or lens.sum() == 0:
+        return
+    pos = np.repeat(np.asarray(dest_starts, dtype=np.int64), lens) + inner_offsets(lens)
+    dest[pos] = np.repeat(np.asarray(run_values), lens)
+
+
+# ---------------------------------------------------------------------------
+# run detection (vectorized analogue of the movemask run scan,
+# /root/reference/src/rleX_extreme_cpu_encode.h:57-99)
+# ---------------------------------------------------------------------------
+
+
+def find_runs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Return (run_starts, run_lens) for maximal equal-value runs of `a`."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(a[1:] != a[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    return starts.astype(np.int64), (ends - starts).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# byte-image views (symbol width is a codec parameter, not a data property:
+# /root/reference/src/rleX_extreme_cpu.c:4-64)
+# ---------------------------------------------------------------------------
+
+_WIDTH_DTYPE = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def tokens_to_bytes(tokens: np.ndarray) -> np.ndarray:
+    """Little-endian byte image of an int32 token array."""
+    return np.ascontiguousarray(tokens, dtype="<i4").view(np.uint8)
+
+
+def byte_image_symbols(img: np.ndarray, width_bits: int) -> tuple[np.ndarray, int]:
+    """View a byte image as `width_bits`-bit symbols, zero-padding the
+    tail. Returns (symbol_array, pad_bytes)."""
+    step = width_bits // 8
+    pad = (-len(img)) % step
+    if pad:
+        img = np.concatenate([img, np.zeros(pad, dtype=np.uint8)])
+    return img.view(np.dtype(f"<u{step}")), pad

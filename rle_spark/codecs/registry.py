@@ -1,0 +1,250 @@
+"""Codec registry — the codec_funcs.h analogue.
+
+The reference registers every codec as a (compress, decompress) pair in
+a single table (/root/reference/src/codec_funcs.h:270-410) keyed by a
+codec enum; the benchmark loop iterates that table. Here each codec is
+a (encode, decode, estimate) triple over int32 token arrays, keyed by a
+stable string id that is persisted in block headers.
+
+Codec ids are frozen once shipped (format stability): never renumber,
+only append.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import base
+from .base import (
+    bit_width,
+    byte_image_symbols,
+    pack_ints,
+    pack_ints_size,
+    pack_sections,
+    tokens_to_bytes,
+    unpack_ints,
+    unpack_sections,
+)
+from .dictionary import dict_decode, dict_encode
+from .fsst import fsst_decode_bytes, fsst_encode_bytes
+from .mtf import mtf_decode_bytes, mtf_encode_bytes
+from .rle import rle_decode_symbols, rle_encode_symbols
+from .single import single_decode_symbols, single_encode_symbols
+
+TOKEN_DTYPE = np.dtype("<i4")
+
+
+@dataclass(frozen=True)
+class Codec:
+    codec_id: int
+    name: str
+    encode: Callable[[np.ndarray], Optional[bytes]]
+    decode: Callable[[bytes, int], np.ndarray]
+    # estimate(stats) -> approx encoded bytes, or None if this codec
+    # should only be chosen via explicit trial (probe) encodes
+    estimate: Callable[[dict], Optional[float]]
+
+
+def _as_tokens(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=TOKEN_DTYPE)
+
+
+# ---------------------------------------------------------------------------
+# token-level codecs (symbols are the int32 tokens themselves)
+# ---------------------------------------------------------------------------
+
+
+def _raw_encode(arr):
+    return _as_tokens(arr).tobytes()
+
+
+def _raw_decode(buf, n):
+    return np.frombuffer(buf, dtype=TOKEN_DTYPE, count=n).copy()
+
+
+def _for_encode(arr):
+    return pack_ints(_as_tokens(arr))
+
+
+def _for_decode(buf, n):
+    return unpack_ints(buf).astype(TOKEN_DTYPE)
+
+
+def _delta_encode(arr):
+    a = _as_tokens(arr).astype(np.int64)
+    d = np.diff(a, prepend=0)
+    return pack_ints(d)
+
+
+def _delta_decode(buf, n):
+    return np.cumsum(unpack_ints(buf)).astype(TOKEN_DTYPE)
+
+
+def _dict_encode(arr):
+    return dict_encode(_as_tokens(arr))
+
+
+def _dict_decode(buf, n):
+    return dict_decode(buf, TOKEN_DTYPE)
+
+
+def _rle32_encode(arr):
+    return rle_encode_symbols(_as_tokens(arr).astype(np.int64), packed=True)
+
+
+def _rle32_decode(buf, n):
+    return rle_decode_symbols(buf, TOKEN_DTYPE)
+
+
+def _single32_encode(arr):
+    return single_encode_symbols(_as_tokens(arr).astype(np.int64))
+
+
+def _single32_decode(buf, n):
+    return single_decode_symbols(buf, TOKEN_DTYPE)
+
+
+# ---------------------------------------------------------------------------
+# byte-image codecs (symbol width is a codec parameter —
+# /root/reference/src/rleX_extreme_cpu.c:4-64)
+# ---------------------------------------------------------------------------
+
+
+def _img_rle_encode(width_bits):
+    def enc(arr):
+        img = tokens_to_bytes(_as_tokens(arr))
+        sym, _pad = byte_image_symbols(img, width_bits)
+        return rle_encode_symbols(sym, packed=True)
+    return enc
+
+
+def _img_rle_decode(width_bits):
+    step = width_bits // 8
+    dt = np.dtype(f"<u{step}")
+
+    def dec(buf, n):
+        sym = rle_decode_symbols(buf, dt)
+        img = sym.view(np.uint8)[: n * 4]
+        return img.view(TOKEN_DTYPE).copy()
+    return dec
+
+
+def _img_single8_encode(arr):
+    img = tokens_to_bytes(_as_tokens(arr))
+    return single_encode_symbols(img)
+
+
+def _img_single8_decode(buf, n):
+    img = single_decode_symbols(buf, np.uint8)[: n * 4]
+    return img.view(TOKEN_DTYPE).copy()
+
+
+def _mtf_rle_encode(lanes):
+    def enc(arr):
+        img = tokens_to_bytes(_as_tokens(arr))
+        t = mtf_encode_bytes(img, lanes)
+        return rle_encode_symbols(t)
+    return enc
+
+
+def _mtf_rle_decode(lanes):
+    def dec(buf, n):
+        t = rle_decode_symbols(buf, np.uint8)[: n * 4]
+        img = mtf_decode_bytes(t, lanes)
+        return img.view(TOKEN_DTYPE).copy()
+    return dec
+
+
+def _fsst_encode(arr):
+    img = tokens_to_bytes(_as_tokens(arr))
+    return fsst_encode_bytes(img)
+
+
+def _fsst_decode(buf, n):
+    img = fsst_decode_bytes(buf)[: n * 4]
+    return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+
+
+# ---------------------------------------------------------------------------
+# estimates (cost model inputs: see selector.block_stats)
+# ---------------------------------------------------------------------------
+
+_HDR = 64  # per-stream framing slop
+
+
+def _est_raw(st):
+    return 4 * st["n"] + 16
+
+
+def _est_for(st):
+    return pack_ints_size(st["n"], st["vmin"], st["vmax"])
+
+
+def _est_delta(st):
+    return pack_ints_size(st["n"], st["dmin"], st["dmax"])
+
+
+def _est_dict(st):
+    k = st["distinct_est"]
+    if k <= 0:
+        return _HDR
+    dict_bytes = pack_ints_size(k, 0, max((st["vmax"] - st["vmin"]) // max(k, 1), 1) * 4)
+    return dict_bytes + pack_ints_size(st["n"], 0, k - 1) + _HDR
+
+
+def _est_rle32(st):
+    k = st["k_runs"]
+    lit = st["lit_count"]
+    vw = bit_width(st["vmax"] - st["vmin"]) if st["vmax"] >= st["vmin"] else 32
+    lw = bit_width(max(st["max_run"], 1))
+    return (k * (vw + lw + lw) + lit * vw) / 8.0 + 4 * _HDR
+
+
+def _est_single32(st):
+    # best case: the dominant symbol's runs become free-ish
+    k = st["k_runs"]
+    lit = st["lit_count"] + st["runnable"] - st["best_sym_runnable"]
+    vw = bit_width(st["vmax"] - st["vmin"]) if st["vmax"] >= st["vmin"] else 32
+    lw = bit_width(max(st["max_run"], 1))
+    return (k * (lw + lw) + lit * vw) / 8.0 + 4 * _HDR
+
+
+REGISTRY: dict[str, Codec] = {}
+
+
+def _register(codec_id, name, encode, decode, estimate):
+    REGISTRY[name] = Codec(codec_id, name, encode, decode, estimate)
+
+
+_register(0, "raw", _raw_encode, _raw_decode, _est_raw)
+_register(1, "for_bitpack", _for_encode, _for_decode, _est_for)
+_register(2, "delta_bitpack", _delta_encode, _delta_decode, _est_delta)
+_register(3, "dict_bitpack", _dict_encode, _dict_decode, _est_dict)
+_register(4, "rle32_sym", _rle32_encode, _rle32_decode, _est_rle32)
+_register(5, "rle32_single", _single32_encode, _single32_decode, _est_single32)
+_register(6, "rle8", _img_rle_encode(8), _img_rle_decode(8), lambda st: None)
+_register(7, "rle16_sym", _img_rle_encode(16), _img_rle_decode(16), lambda st: None)
+_register(8, "rle64_sym", _img_rle_encode(64), _img_rle_decode(64), lambda st: None)
+_register(9, "rle8_single", _img_single8_encode, _img_single8_decode, lambda st: None)
+_register(10, "mtf16_rle8", _mtf_rle_encode(16), _mtf_rle_decode(16), lambda st: None)
+_register(11, "mtf32_rle8", _mtf_rle_encode(32), _mtf_rle_decode(32), lambda st: None)
+_register(12, "fsst8", _fsst_encode, _fsst_decode, lambda st: None)
+
+BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
+
+# codecs cheap enough to probe (trial-encode) when estimates are close
+PROBE_CODECS = ["rle64_sym", "rle8", "rle16_sym", "rle8_single", "fsst8"]
+# expensive ratio-oriented codecs, only tried at effort="max"
+# (the reference's greedy-encoder tier, README.md:251-254)
+MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8"]
+
+
+def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:
+    return REGISTRY[name].encode(tokens)
+
+
+def decode_with(name: str, payload: bytes, n_tokens: int) -> np.ndarray:
+    return REGISTRY[name].decode(payload, n_tokens)

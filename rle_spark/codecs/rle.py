@@ -1,0 +1,111 @@
+"""Hybrid run-length codec over fixed-width symbols (families F1/F2/F5).
+
+Reference semantics being reimplemented (NOT ported):
+  * multi-width RLE with alternating literal-copy / run regions —
+    /root/reference/src/rleX_extreme_cpu_encode.h:14-609 (the greedy
+    scan emitting (symbol, count, range=copy-len) commands) and the
+    matching memcpy/memset decode loop
+    /root/reference/src/rleX_extreme_cpu_decode.h:27-164.
+  * symbol width as a codec parameter (8/16/32/64 bit), macro-
+    instantiated in the reference at /root/reference/src/rleX_extreme_cpu.c:4-64.
+  * a run is only emitted when longer than the command cost
+    (MIN_RANGE thresholds, /root/reference/src/rleX_extreme_cpu.h:10-15).
+
+Our format is struct-of-arrays instead of an interleaved command
+stream — the Spark-native choice: four frame-of-reference bit-packed
+sub-streams decode with np.repeat/scatter (fully vectorized), where the
+reference replays commands one at a time. Ratio parity vs the
+reference's interleaved format is asserted in tests against the exact
+size model in `refmodel.py` ("ratio parity is what matters, not
+byte-identical streams" — SURVEY.md §2.1 F5).
+
+Layout (via pack_sections):
+  [0] run_values  — pack_ints of the per-run symbols
+  [1] run_lens    — pack_ints of run lengths (always >= min_run)
+  [2] lit_lens    — pack_ints of the k+1 literal-span lengths
+  [3] lit_values  — pack_ints of the literal symbols, in order
+
+The "packed" variant (F2's same-as-last-symbol bit,
+/root/reference/src/rleX_extreme_cpu_encode.h:206-228) is expressed here
+as delta-coding of run_values: runs repeating a recent symbol cost ~0
+bits after frame-of-reference packing of the deltas, which subsumes the
+1-bit flag without a separate format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import (
+    fill_runs,
+    find_runs,
+    inner_offsets,
+    pack_ints,
+    pack_sections,
+    scatter_segments,
+    unpack_ints,
+    unpack_sections,
+)
+
+DEFAULT_MIN_RUN = 3
+
+
+def split_runs_literals(sym: np.ndarray, min_run: int = DEFAULT_MIN_RUN):
+    """Partition a symbol array into emitted runs and literal spans.
+
+    Returns (run_starts, run_lens, run_values, lit_lens, lit_values)
+    where lit_lens has len(runs)+1 entries (spans between/around runs).
+    """
+    n = len(sym)
+    starts, lens = find_runs(sym)
+    keep = lens >= min_run
+    run_starts = starts[keep]
+    run_lens = lens[keep]
+    run_values = sym[run_starts] if len(run_starts) else sym[:0]
+    lit_starts = np.concatenate(([0], run_starts + run_lens))
+    lit_ends = np.concatenate((run_starts, [n]))
+    lit_lens = (lit_ends - lit_starts).astype(np.int64)
+    total_lit = int(lit_lens.sum())
+    if total_lit:
+        pos = np.repeat(lit_starts, lit_lens) + inner_offsets(lit_lens)
+        lit_values = sym[pos]
+    else:
+        lit_values = sym[:0]
+    return run_starts, run_lens, run_values, lit_lens, lit_values
+
+
+def rle_encode_symbols(sym: np.ndarray, min_run: int = DEFAULT_MIN_RUN,
+                       packed: bool = False) -> bytes:
+    """Encode any integer symbol array with the hybrid RLE format."""
+    _, run_lens, run_values, lit_lens, lit_values = split_runs_literals(sym, min_run)
+    rv = run_values.astype(np.int64, copy=True)
+    if packed and len(rv) > 1:
+        rv[1:] -= rv[:-1].copy()  # delta of run symbols (mod 2^64 — exact)
+    return pack_sections([
+        pack_ints(rv),
+        pack_ints(run_lens),
+        pack_ints(lit_lens),
+        pack_ints(lit_values),
+        bytes([1 if packed else 0]),
+    ])
+
+
+def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
+    """Decode to a symbol array of the given integer dtype."""
+    s = unpack_sections(buf)
+    run_values = unpack_ints(s[0])
+    run_lens = unpack_ints(s[1])
+    lit_lens = unpack_ints(s[2])
+    lit_values = unpack_ints(s[3])
+    if len(s) > 4 and len(s[4]) and s[4][0] == 1 and len(run_values) > 1:
+        run_values = np.cumsum(run_values)
+    k = len(run_lens)
+    seg = np.empty(2 * k + 1, dtype=np.int64)
+    seg[0::2] = lit_lens
+    seg[1::2] = run_lens
+    starts = np.cumsum(seg) - seg
+    n = int(seg.sum())
+    out = np.empty(n, dtype=np.int64)
+    scatter_segments(out, starts[0::2], lit_lens, lit_values)
+    fill_runs(out, starts[1::2], run_lens, run_values)
+    return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out

@@ -1,0 +1,134 @@
+"""Per-block codec selection: cheap stats -> cost model -> trial encode.
+
+The reference's only "optimizer" is manual codec choice plus the
+benchmark loop trying everything (/root/reference/src/main.c:803-1076);
+its in-codec precedents for cost-driven choice are the emit-threshold
+constants (/root/reference/src/rleX_extreme_cpu.h:10-15), the
+penalty-aware LUT emit (/root/reference/src/rleX_Xsl.h:130-132) and the
+single-symbol argmax scan (/root/reference/src/rle8_extreme_cpu.c:135-152).
+The --analyze feature extractor (/root/reference/src/main.c:1246-2257)
+is the model for `block_stats`.
+
+Selection contract (mirrors F12's memcpy control,
+/root/reference/src/codec_funcs.h:130): the RAW codec is always a
+candidate, so the chosen size never exceeds 4*n+16 — data is never
+inflated past the raw image plus a fixed header.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codecs import PROBE_CODECS, MAX_EFFORT_CODECS, REGISTRY
+from .codecs.base import find_runs
+
+SAMPLE_DISTINCT = 1 << 16
+
+
+def block_stats(arr: np.ndarray) -> dict:
+    """O(n) vectorized feature pass (the --analyze analogue)."""
+    a = np.ascontiguousarray(arr, dtype=np.int64)
+    n = len(a)
+    st: dict = {"n": n}
+    if n == 0:
+        st.update(vmin=0, vmax=0, dmin=0, dmax=0, n_runs=0, k_runs=0,
+                  lit_count=0, max_run=0, runnable=0, best_sym_runnable=0,
+                  distinct_est=0)
+        return st
+    st["vmin"] = int(a.min())
+    st["vmax"] = int(a.max())
+    d = np.diff(a, prepend=0)
+    st["dmin"] = int(d.min())
+    st["dmax"] = int(d.max())
+    starts, lens = find_runs(a)
+    st["n_runs"] = len(lens)
+    emit = lens >= 3
+    st["k_runs"] = int(emit.sum())
+    st["lit_count"] = int(lens[~emit].sum())
+    st["max_run"] = int(lens.max())
+    st["runnable"] = int(lens[emit].sum())
+    if emit.any():
+        vals = a[starts[emit]]
+        uniq, inv = np.unique(vals, return_inverse=True)
+        per_sym = np.bincount(inv, weights=lens[emit].astype(np.float64))
+        st["best_sym_runnable"] = int(per_sym.max())
+    else:
+        st["best_sym_runnable"] = 0
+    if n <= SAMPLE_DISTINCT:
+        st["distinct_est"] = int(len(np.unique(a)))
+    else:
+        idx = np.linspace(0, n - 1, SAMPLE_DISTINCT).astype(np.int64)
+        sample_distinct = len(np.unique(a[idx]))
+        # first-order scale-up, capped by value span
+        est = int(sample_distinct * (n / SAMPLE_DISTINCT) ** 0.5)
+        st["distinct_est"] = min(max(sample_distinct, est),
+                                 st["vmax"] - st["vmin"] + 1, n)
+    return st
+
+
+@dataclass
+class SelectorConfig:
+    effort: str = "balanced"  # fast | balanced | max
+    trial_top: int = 2        # estimate-ranked candidates to trial-encode
+    allow: list[str] = field(default_factory=list)  # allow-list; [] = all
+    probe_run_frac: float = 0.7  # probe byte-image codecs when
+                                 # n_runs/n below this (repetitive data)
+
+
+def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
+                      ) -> tuple[str, bytes, dict]:
+    """Choose the cheapest codec for this block and encode with it.
+
+    Returns (codec_name, payload, stats). Guaranteed:
+    len(payload) <= 4*len(arr) + 16 (RAW fallback).
+    """
+    cfg = cfg or SelectorConfig()
+    st = block_stats(arr)
+    n = st["n"]
+    allowed = set(cfg.allow) if cfg.allow else set(REGISTRY)
+
+    raw_size = 4 * n + 16
+    best_name, best_payload = "raw", None
+
+    if n == 0 or cfg.effort == "raw-only":
+        payload = REGISTRY["raw"].encode(arr)
+        st["est_raw"] = raw_size
+        return "raw", payload, st
+
+    # rank estimate-capable codecs
+    ests = []
+    for name, codec in REGISTRY.items():
+        if name == "raw" or name not in allowed:
+            continue
+        e = codec.estimate(st)
+        if e is not None:
+            st[f"est_{name}"] = float(e)
+            ests.append((e, name))
+    ests.sort()
+
+    trial = [name for _, name in ests[: cfg.trial_top]]
+    if cfg.effort in ("balanced", "max"):
+        # probe byte-image codecs only when token-level prospects are
+        # weak or the data shows byte-level structure worth chasing
+        best_est_ratio = (ests[0][0] / raw_size) if ests else 1.0
+        run_frac = st["n_runs"] / max(n, 1)
+        if best_est_ratio > 0.5 or run_frac < (1 - cfg.probe_run_frac):
+            trial += [c for c in PROBE_CODECS if c in allowed and c not in trial]
+    if cfg.effort == "max":
+        trial += [c for c in MAX_EFFORT_CODECS if c in allowed and c not in trial]
+        trial += [name for _, name in ests[cfg.trial_top:]]
+
+    best_size = raw_size
+    for name in trial:
+        payload = REGISTRY[name].encode(arr)
+        if payload is None:
+            continue
+        if len(payload) < best_size:
+            best_size = len(payload)
+            best_name, best_payload = name, payload
+
+    if best_payload is None:
+        best_payload = REGISTRY["raw"].encode(arr)
+    return best_name, best_payload, st

@@ -1,0 +1,150 @@
+"""Per-codec roundtrip tests — the NumPy-level port of the reference's
+roundtrip-everything CI + structured fuzzing (SURVEY.md §5).
+
+Every codec must: encode, decode bit-identically, and survive tail
+scramble (garbage appended after the payload must not change the
+decode — /root/reference/src/main.c:942-948)."""
+
+import numpy as np
+import pytest
+
+from rle_spark.codecs import REGISTRY, decode_with, encode_with
+from rle_spark.codecs.base import (
+    pack_bits, unpack_bits, pack_ints, unpack_ints,
+    pack_sections, unpack_sections, find_runs,
+)
+from rle_spark.codecs.mtf import mtf_decode_bytes, mtf_encode_bytes
+from rle_spark.codecs.fsst import fsst_decode_bytes, fsst_encode_bytes
+from rle_spark.codecs.refmodel import ref_rle_size_exact, ref_rle_size_model_v1
+
+from fuzzgen import boundary_cases, fuzz_tokens
+
+ALL_CODECS = sorted(REGISTRY)
+CASES = boundary_cases()
+
+
+def _roundtrip(name: str, arr: np.ndarray):
+    payload = encode_with(name, arr)
+    if payload is None:
+        return  # codec declined (e.g. no profitable single symbol)
+    out = decode_with(name, payload, len(arr))
+    assert out.dtype == np.dtype("<i4") or np.array_equal(
+        out.astype(np.int32), arr)
+    np.testing.assert_array_equal(np.asarray(out, dtype=np.int32), arr)
+    # tail scramble: decoder must never read past declared lengths
+    scrambled = decode_with(name, bytes(payload) + b"\xa5" * 129, len(arr))
+    np.testing.assert_array_equal(np.asarray(scrambled, dtype=np.int32), arr)
+
+
+@pytest.mark.parametrize("name", ALL_CODECS)
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_roundtrip_boundary_cases(name, case):
+    _roundtrip(name, CASES[case])
+
+
+@pytest.mark.parametrize("name", ALL_CODECS)
+@pytest.mark.parametrize("seed", range(8))
+def test_roundtrip_fuzz(name, seed):
+    arr = fuzz_tokens(seed)
+    if name.startswith("mtf") and len(arr) > 300_000:
+        arr = arr[:300_000]  # MTF is O(256n); keep the suite fast
+    _roundtrip(name, arr)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_roundtrip_small_vocab_fuzz(seed):
+    arr = fuzz_tokens(seed + 100, vocab=256)
+    for name in ALL_CODECS:
+        if name.startswith("mtf") and len(arr) > 300_000:
+            continue
+        _roundtrip(name, arr)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width", [0, 1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64])
+def test_pack_bits_widths(width):
+    rng = np.random.default_rng(width)
+    hi = (1 << width) - 1 if width else 0
+    v = rng.integers(0, hi + 1, 1000, dtype=np.uint64) if width else np.zeros(1000, np.uint64)
+    buf = pack_bits(v, width)
+    assert len(buf) == (1000 * width + 7) // 8
+    np.testing.assert_array_equal(unpack_bits(buf, width, 1000), v)
+
+
+def test_pack_ints_full_range():
+    v = np.array([-2**63, 2**63 - 1, 0, -1, 1], dtype=np.int64)
+    np.testing.assert_array_equal(unpack_ints(pack_ints(v)), v)
+    u = np.array([0, 2**64 - 1, 2**63], dtype=np.uint64)
+    out = unpack_ints(pack_ints(u)).view(np.uint64)
+    np.testing.assert_array_equal(out, u)
+
+
+def test_sections_tail_safety():
+    buf = pack_sections([b"abc", b"", b"xyz123"])
+    parts = unpack_sections(buf + b"garbagegarbage")
+    assert [bytes(p) for p in parts] == [b"abc", b"", b"xyz123"]
+
+
+def test_find_runs():
+    starts, lens = find_runs(np.array([1, 1, 2, 3, 3, 3]))
+    np.testing.assert_array_equal(starts, [0, 2, 3])
+    np.testing.assert_array_equal(lens, [2, 1, 3])
+
+
+@pytest.mark.parametrize("lanes", [16, 32])
+def test_mtf_transform(lanes):
+    rng = np.random.default_rng(lanes)
+    img = rng.integers(0, 256, 5000).astype(np.uint8)
+    enc = mtf_encode_bytes(img, lanes)
+    assert len(enc) == len(img)
+    np.testing.assert_array_equal(mtf_decode_bytes(enc, lanes), img)
+    # a repeated byte must map to MTF rank 0 after first occurrence
+    rep = np.zeros(lanes * 10, dtype=np.uint8) + 55
+    enc2 = mtf_encode_bytes(rep, lanes)
+    assert (enc2[lanes:] == 0).all()
+
+
+def test_fsst_bytes_with_escapes():
+    rng = np.random.default_rng(3)
+    img = np.concatenate([
+        np.tile(np.array([255, 255, 254, 1], np.uint8), 500),  # ESC-heavy
+        rng.integers(0, 256, 2000).astype(np.uint8),
+    ])
+    out = fsst_decode_bytes(fsst_encode_bytes(img))
+    np.testing.assert_array_equal(out, img)
+
+
+# ---------------------------------------------------------------------------
+# reference size model (the ratio yardstick)
+# ---------------------------------------------------------------------------
+
+
+def test_ref_model_pure_run():
+    # 1000 identical bytes: one short command + header + terminator
+    img = np.zeros(1000, dtype=np.uint8)
+    exact = ref_rle_size_exact(img, 1)
+    assert exact < 40  # 8 hdr + (1 sym + 5 count + 1 range) + 11 term
+    assert ref_rle_size_model_v1(img, 1) == exact
+
+
+def test_ref_model_incompressible():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, 10_000).astype(np.uint8)
+    exact = ref_rle_size_exact(img, 1)
+    assert exact >= 10_000  # all literal + overhead
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("sym_bytes", [1, 2, 4, 8])
+def test_engine_beats_reference_rle_size(seed, sym_bytes):
+    """North-rule bound: selected size <= reference RLE size, any width."""
+    from rle_spark.selector import select_and_encode
+    arr = fuzz_tokens(seed + 50)
+    img = np.ascontiguousarray(arr, dtype="<i4").view(np.uint8)
+    ref = ref_rle_size_exact(img, sym_bytes)
+    _, payload, _ = select_and_encode(arr)
+    assert len(payload) + 15 <= ref + 16  # +15 frame, ref has 8B header
