@@ -1,38 +1,311 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (tokenize documents ->
+bucket-planned encode -> per-source manifest) at sf0.001.
+`queries()` / `oracle_sql()` pair every implemented operator from
+SURVEY.md §2 with a DuckDB oracle; rows-only entries (no oracle) are
+the genuinely non-SQL ops (actual payload encoding, xxhash-based
+simhash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from rle_spark import queries as Q  # noqa: E402
+from rle_spark.textops import STOPWORDS  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+TOKEN_ID = "(('0x'||substr(md5({w}),1,8))::BIGINT % 50257)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokenize sf0.001 documents, run the full encode
+    pipeline, return the per-source manifest summary."""
+    return Q.q_encode_manifest(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # codec / engine family (SURVEY.md §2.1, §2.3)
+        "run_stats_returnflag": Q.q_run_stats_returnflag,
+        "run_extract_orderstatus": Q.q_run_extract_orderstatus,
+        "ref_rle8_size": Q.q_ref_rle8_size,
+        "column_codec_stats": Q.q_column_codec_stats,
+        "codec_selection": Q.q_codec_selection,
+        "tokenize_stats": Q.q_tokenize_stats,
+        "token_runs_by_source": Q.q_token_runs_by_source,
+        "encode_manifest": Q.q_encode_manifest,      # rows-only
+        "roundtrip_matches": Q.q_roundtrip_matches,  # oracle == plain counts
+        # dedup family
+        "dedup_exact": Q.q_dedup_exact,
+        "minhash_signatures": Q.q_minhash_signatures,
+        "near_dup_buckets": Q.q_near_dup_buckets,
+        "simhash": Q.q_simhash,                      # rows-only
+        # text analysis
+        "quality_by_source": Q.q_quality_by_source,
+        "langid_counts": Q.q_langid_counts,
+        # similarity
+        "ann_topk": Q.q_ann_topk,
+        # classic OLAP sanity
+        "pricing_summary": Q.q_pricing_summary,
+        "revenue_by_nation": Q.q_revenue_by_nation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _runs_cte(col: str, table: str, order: str) -> str:
+    return f"""
+      SELECT count(*) AS run_len, min(rn) AS s, v AS value
+      FROM (
+        SELECT {col} AS v, rn,
+               rn - row_number() OVER (PARTITION BY {col} ORDER BY rn) AS grp
+        FROM (SELECT {col}, row_number() OVER (ORDER BY {order}) AS rn
+              FROM {table})
+      ) GROUP BY v, grp
     """
-    return {}
+
+
+def _ref_rle8_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(8 + COALESCE(SUM(CASE WHEN emitted THEN cmd END), 0)
+              + (SELECT count(*) FROM lineitem)
+              - COALESCE(SUM(CASE WHEN emitted THEN len END), 0)
+              + 11 AS BIGINT) AS model_bytes
+    FROM (
+      SELECT len, rng,
+             ((rng <= 255) OR len >= 11) AS emitted,
+             1 + (CASE WHEN len - 4 <= 255 THEN 1 ELSE 5 END)
+               + (CASE WHEN rng <= 255 THEN 1 ELSE 5 END) AS cmd
+      FROM (
+        SELECT len,
+               (s - 1) - lag(s - 1 + len, 1, 0) OVER (ORDER BY s) + 1 AS rng
+        FROM (
+          SELECT count(*) AS len, min(rn) AS s
+          FROM (
+            SELECT {col} AS v, rn,
+                   rn - row_number() OVER (PARTITION BY {col} ORDER BY rn) AS grp
+            FROM (SELECT {col}, row_number()
+                         OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+          ) GROUP BY v, grp
+          HAVING count(*) >= 5
+        )
+      )
+    )"""
+
+
+def _col_stats_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, s.n_values, s.vmin, s.vmax, s.n_distinct,
+           r.n_runs
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS n_runs FROM (
+        SELECT 1
+        FROM (SELECT v, rn - row_number() OVER (PARTITION BY v ORDER BY rn) AS grp
+              FROM (SELECT {col} AS v,
+                           row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+                    FROM lineitem))
+        GROUP BY v, grp
+      )) r
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                 CAST(min({col}) AS BIGINT) AS vmin,
+                 CAST(max({col}) AS BIGINT) AS vmax,
+                 CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct
+          FROM lineitem) s"""
+
+
+_STAT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+_BW = "(CASE WHEN {x} <= 0 THEN 0 ELSE length(bin({x})) END)"
+
+
+def _codec_selection_sql() -> str:
+    stats = " UNION ALL ".join(_col_stats_sql(c) for c in _STAT_COLS)
+    bw_span = _BW.format(x="(vmax - vmin)")
+    bw_k = _BW.format(x="(n_distinct - 1)")
+    return f"""
+    WITH stats AS ({stats}),
+    ests AS (
+      SELECT col_name,
+             CAST(16 + 4 * n_values AS BIGINT) AS est_raw,
+             CAST(17 + (n_values * {bw_span} + 7) // 8 AS BIGINT) AS est_for_bitpack,
+             CAST(34 + (n_distinct * {bw_span} + 7) // 8
+                     + (n_values * {bw_k} + 7) // 8 AS BIGINT) AS est_dict_bitpack
+      FROM stats)
+    SELECT col_name, est_raw, est_for_bitpack, est_dict_bitpack,
+           CASE WHEN est_for_bitpack = least(est_raw, est_for_bitpack, est_dict_bitpack)
+                  THEN 'for_bitpack'
+                WHEN est_dict_bitpack = least(est_raw, est_for_bitpack, est_dict_bitpack)
+                  THEN 'dict_bitpack'
+                ELSE 'raw' END AS chosen_codec
+    FROM ests ORDER BY col_name"""
+
+
+def _stop_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, source, "
+    "list_transform(string_split(text, ' '), "
+    "w -> ('0x'||substr(md5(w),1,8))::BIGINT % 50257) AS ids "
+    "FROM documents)"
+)
+
+_SIG_CTE = """
+  ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+  sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM ws, unnest(generate_series(1, len(w) - 2)) AS g(i)),
+  sig AS (SELECT doc_id,
+            min(('0x'||substr(md5('0:' || shingle),1,8))::BIGINT) AS b0,
+            min(('0x'||substr(md5('1:' || shingle),1,8))::BIGINT) AS b1,
+            min(('0x'||substr(md5('2:' || shingle),1,8))::BIGINT) AS b2,
+            min(('0x'||substr(md5('3:' || shingle),1,8))::BIGINT) AS b3
+          FROM sh GROUP BY doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["run_stats_returnflag"] = f"""
+      WITH runs AS ({_runs_cte('l_returnflag', 'lineitem',
+                               'l_orderkey, l_linenumber')})
+      SELECT value, CAST(count(*) AS BIGINT) AS n_runs,
+             CAST(sum(run_len) AS BIGINT) AS total_len,
+             CAST(max(run_len) AS BIGINT) AS max_run_len
+      FROM runs GROUP BY value ORDER BY value"""
+
+    sql["run_extract_orderstatus"] = f"""
+      WITH runs AS ({_runs_cte('o_orderstatus', 'orders', 'o_orderkey')})
+      SELECT CAST(s AS BIGINT) AS start_rn, value,
+             CAST(run_len AS BIGINT) AS run_len
+      FROM runs ORDER BY s"""
+
+    sql["ref_rle8_size"] = (_ref_rle8_sql("l_returnflag") + " UNION ALL "
+                            + _ref_rle8_sql("l_linestatus")
+                            + " ORDER BY col_name")
+
+    sql["column_codec_stats"] = (" UNION ALL ".join(
+        _col_stats_sql(c) for c in _STAT_COLS) + " ORDER BY col_name")
+
+    sql["codec_selection"] = _codec_selection_sql()
+
+    sql["tokenize_stats"] = f"""
+      WITH {_TOKS_CTE}
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(ids)) AS BIGINT) AS total_tokens,
+             CAST(sum(COALESCE(list_sum(ids), 0)) AS BIGINT) AS token_id_sum
+      FROM toks GROUP BY source ORDER BY source"""
+
+    sql["token_runs_by_source"] = f"""
+      WITH {_TOKS_CTE},
+      pairs AS (SELECT source, CASE WHEN t.ids[i] = t.ids[i+1] THEN 1 ELSE 0 END AS eq
+                FROM toks t, unnest(generate_series(1, len(t.ids) - 1)) AS g(i))
+      SELECT d.source,
+             CAST(COALESCE((SELECT sum(eq) FROM pairs p WHERE p.source = d.source), 0)
+                  AS BIGINT) AS adjacent_equal_pairs
+      FROM (SELECT DISTINCT source FROM documents) d ORDER BY d.source"""
+
+    sql["roundtrip_matches"] = """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_matched
+      FROM documents GROUP BY source ORDER BY source"""
+
+    sql["dedup_exact"] = """
+      SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups
+      FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
+
+    sql["minhash_signatures"] = f"""
+      WITH {_SIG_CTE}
+      SELECT doc_id, b0, b1, b2, b3 FROM sig ORDER BY doc_id"""
+
+    sql["near_dup_buckets"] = f"""
+      WITH {_SIG_CTE},
+      ub AS (SELECT 0 AS band, b0 AS band_hash, doc_id FROM sig
+             UNION ALL SELECT 1, b1, doc_id FROM sig
+             UNION ALL SELECT 2, b2, doc_id FROM sig
+             UNION ALL SELECT 3, b3, doc_id FROM sig)
+      SELECT band, band_hash, CAST(count(*) AS BIGINT) AS n_docs
+      FROM ub GROUP BY band, band_hash HAVING count(*) > 1
+      ORDER BY band, band_hash"""
+
+    sql["quality_by_source"] = """
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             CAST(sum(length(text)
+                  - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS BIGINT)
+               AS total_punct,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                  x -> lower(x) IN ({en})))) AS BIGINT) AS total_stopwords_en
+      FROM documents GROUP BY source ORDER BY source""".format(
+        en=_stop_list("en"))
+
+    sql["langid_counts"] = """
+      WITH hits AS (
+        SELECT len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ({en}))) AS h_en,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ({es}))) AS h_es,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ({de}))) AS h_de,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ({fr}))) AS h_fr
+        FROM documents),
+      pred AS (
+        SELECT CASE WHEN greatest(h_en, h_es, h_de, h_fr) <= 0 THEN 'und'
+                    WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                    WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits)
+      SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang_pred ORDER BY lang_pred""".format(
+        en=_stop_list("en"), es=_stop_list("es"),
+        de=_stop_list("de"), fr=_stop_list("fr"))
+
+    sql["ann_topk"] = """
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3)
+               AS sim_r3
+      FROM embeddings
+      ORDER BY list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+               vec_id
+      LIMIT 10"""
+
+    sql["pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(18,4))
+               AS sum_disc_price,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""
+
+    sql["revenue_by_nation"] = """
+      SELECT n_name,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""
+
+    return sql

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line to stdout.
+
+Layout mirrors the reference benchmark loop (/root/reference/src/main.c:803-1076):
+warm the JVM, time each headline query, then the encode-throughput
+runs. The north rule's two-cluster-size criterion is evidenced by
+running the identical encode job at local[N] and local[4N] on the
+same on-disk input and reporting both throughputs + scaling
+efficiency (no real cluster in this sandbox — see BENCH.md).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  RLE_BENCH_DOCS       synthetic docs for the scaling run (default 3000)
+  RLE_BENCH_SKIP_SCALING=1 to skip the two-parallelism runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rle_spark import memtune  # noqa: E402
+
+memtune.apply()  # before any JVM launch
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "8000"))
+# N -> 4N parallelism pair for the scaling-efficiency criterion.
+# Default 2 -> 8: this sandbox VM's page-fault path collapses under
+# >~8 concurrent memory-heavy processes (host-level, measured in
+# BENCH.md), so 8 -> 32 measures the hypervisor, not the engine.
+_SP = os.environ.get("RLE_BENCH_SCALE_PAIR", "2,8").split(",")
+SCALE_PAIR = (int(_SP[0]), int(_SP[1]))
+SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "2"))
+
+HEADLINE = [
+    "encode_manifest", "roundtrip_matches", "tokenize_stats",
+    "run_stats_returnflag", "run_extract_orderstatus", "column_codec_stats",
+    "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
+    "near_dup_buckets", "quality_by_source", "langid_counts", "ann_topk",
+    "pricing_summary", "revenue_by_nation", "token_runs_by_source",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_spark(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName(app)
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            .config("spark.driver.memory", os.environ.get("RLE_SPARK_DRIVER_MEM", "48g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate())
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as em
+    qs = em.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        log(f"  query {name}: {out[name]}s ({n} rows)")
+    return out
+
+
+def encode_run(cpus: int, src_path: str, out_dir: str) -> dict:
+    """One full encode job at the given parallelism; returns metrics."""
+    from rle_spark.engine import EngineConfig, encode_table
+    spark = make_spark(cpus, f"bench-encode-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.read.parquet(src_path)
+        # dry run (reference protocol, src/main.c:808-811): spawn + heap-
+        # warm one python worker per core so the timed run measures the
+        # codecs, not worker spawn / first-touch page faults
+        total_tokens = df.selectExpr("sum(n_tok)").collect()[0][0] or 0
+        from rle_spark.engine import warm_python_workers
+        warm_python_workers(spark, cpus)
+        # buckets sized so every core gets ~3 partitions at this volume
+        tb = max(int(total_tokens) // (cpus * 3), 1 << 19)
+        cfg = EngineConfig(block_tokens=1 << 18, target_bucket_tokens=tb)
+        # dry run (untimed — reference protocol src/main.c:808-811), then
+        # repeated timed runs tracking the fastest (src/main.c:828)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        encode_table(spark, df, out_dir, cfg, resume=False)
+        walls = []
+        summary = None
+        for _ in range(SCALE_RUNS):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            summary = encode_table(spark, df, out_dir, cfg, resume=False)
+            walls.append(time.time() - t0)
+        wall = min(walls)
+        gbps = summary["orig_bytes"] / wall / 1e9
+        return {"cpus": cpus, "wall_sec": round(wall, 2),
+                "walls": [round(w, 2) for w in walls],
+                "orig_bytes": summary["orig_bytes"],
+                "comp_bytes": summary["comp_bytes"],
+                "ratio": round(summary["ratio"], 4),
+                "encode_GBps": round(gbps, 3)}
+    finally:
+        spark.stop()
+
+
+def encode_run_subprocess(cpus: int, src: str, out_dir: str) -> dict:
+    """Each parallelism level gets a fresh JVM + python process (the
+    in-process JVM carries warm/cold state between sessions and skews
+    the comparison)."""
+    import subprocess
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--encode-run", str(cpus), src, out_dir],
+        capture_output=True, text=True, timeout=1200)
+    sys.stderr.write(p.stderr[-2000:])
+    if p.returncode != 0:
+        raise RuntimeError(f"encode subprocess failed: {p.stderr[-500:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--encode-run":
+        print(json.dumps(encode_run(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
+        return
+    results: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "unit": "sec"}
+
+    # 1) headline queries at local[CPUS]
+    spark = make_spark(CPUS, "bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    queries = run_queries(spark)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    results.update({
+        "metric": "headline_query_total_sec",
+        "value": total,
+        "queries": queries,
+    })
+
+    # 2) encode throughput scaling (N vs 4N threads, same input)
+    if os.environ.get("RLE_BENCH_SKIP_SCALING") != "1":
+        src = "/tmp/rle_bench_tokens"
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
+            spark = make_spark(CPUS, "bench-gen")
+            spark.sparkContext.setLogLevel("ERROR")
+            from rle_spark.datagen import token_table
+            token_table(spark, BENCH_DOCS, seed=42).write.mode(
+                "overwrite").parquet(src)
+            spark.stop()
+        lo, hi = SCALE_PAIR
+        r_lo = encode_run_subprocess(lo, src, "/tmp/rle_bench_out_lo")
+        r_hi = encode_run_subprocess(hi, src, "/tmp/rle_bench_out_hi")
+        speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
+        eff = speedup / (hi / lo)
+        results["scaling"] = {
+            "low": r_lo, "high": r_hi,
+            "speedup": round(speedup, 3),
+            "parallelism_ratio": hi / lo,
+            "scaling_efficiency": round(eff, 3),
+        }
+        log(f"scaling: {lo}->{hi} threads speedup={speedup:.2f} eff={eff:.2f}")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

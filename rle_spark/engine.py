@@ -26,12 +26,15 @@ Scale design (100 TB / 10^12 sequences):
 
 from __future__ import annotations
 
-import hashlib
 import os
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+
+from . import memtune
+
+memtune.apply()  # must precede JVM launch (workers inherit driver env)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -74,26 +77,46 @@ def get_spark(app: str = "rle_spark", cpus: int | None = None,
     )
 
 
+def warm_python_workers(spark: SparkSession, cpus: int, mb: int = 128) -> None:
+    """One dry pass that spawns a python worker per core and touches
+    `mb` MiB of heap in each — the engine's analogue of the reference
+    benchmark's untimed dry run (/root/reference/src/main.c:808-811),
+    here also defeating this host's first-touch page-fault stalls
+    (see memtune)."""
+    from .memtune import warm_heap
+
+    def it(batches):
+        warm_heap(mb)
+        yield from batches
+
+    (spark.range(cpus * 2, numPartitions=cpus * 2)
+     .mapInPandas(it, "id long").count())
+
+
 # ---------------------------------------------------------------------------
 # bucket planning (explicit skew handling)
 # ---------------------------------------------------------------------------
 
 
-def plan_buckets(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Add a `bucket` column sized from per-source token totals.
+def bucket_counts(df: DataFrame, cfg: EngineConfig) -> dict[str, int]:
+    """Per-source bucket counts from token totals.
 
     The stats pass only touches (source, n_tok) — Catalyst prunes the
-    token arrays out of the scan — so it is cheap even at 100 TB. The
-    per-source bucket counts are a tiny driver-side map compiled into
-    the plan (a literal-map lookup, no join, no broadcast needed).
+    token arrays out of the scan — so it is cheap even at 100 TB.
     """
     totals = (df.groupBy("source").agg(F.sum("n_tok").alias("total"))
               .collect())
-    buckets = {
+    return {
         r["source"]: max(cfg.min_buckets,
                          int(np.ceil((r["total"] or 0) / cfg.target_bucket_tokens)))
         for r in totals
     }
+
+
+def apply_buckets(df: DataFrame, buckets: dict[str, int]) -> DataFrame:
+    """Add the `bucket` column. The per-source bucket counts are a tiny
+    driver-side map compiled into the plan (a literal-map lookup — no
+    join, no broadcast needed)."""
     if not buckets:  # empty input: single bucket, no map lookup
         return df.withColumn("bucket", F.lit(0))
     mapping = F.create_map(*[F.lit(x) for kv in buckets.items() for x in kv])
@@ -102,6 +125,24 @@ def plan_buckets(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         "bucket",
         F.pmod(F.xxhash64(F.col("doc_id")), n_buckets).cast("int"),
     )
+
+
+def plan_buckets(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    return apply_buckets(df, bucket_counts(df, cfg))
+
+
+def _arrange(bucketed: DataFrame, buckets: dict[str, int]) -> DataFrame:
+    """One explicit shuffle sized to the bucket count.
+
+    The partition count is pinned to the number of (source,bucket)
+    pairs so encode parallelism tracks the data volume — AQE would
+    otherwise coalesce the small-looking shuffle into a handful of
+    tasks and serialize the (CPU-heavy) encode stage behind it.
+    """
+    n_parts = max(sum(buckets.values()), 1)
+    return (bucketed
+            .repartition(n_parts, "source", "bucket")
+            .sortWithinPartitions("source", "bucket", "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -209,10 +250,8 @@ def encode_dataframe(df: DataFrame, cfg: EngineConfig | None = None) -> DataFram
     Lazy: returns the block DataFrame; one shuffle (source, bucket).
     """
     cfg = cfg or EngineConfig()
-    bucketed = plan_buckets(df, cfg)
-    arranged = (bucketed
-                .repartition("source", "bucket")
-                .sortWithinPartitions("source", "bucket", "doc_id"))
+    buckets = bucket_counts(df, cfg)
+    arranged = _arrange(apply_buckets(df, buckets), buckets)
     return arranged.mapInPandas(_encode_iter_factory(cfg), BLOCK_SCHEMA_DDL)
 
 
@@ -232,14 +271,13 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         done = spark.read.parquet(manifest_path).select("source", "bucket")
         skipped = done.count()
 
-    bucketed = plan_buckets(df, cfg)
+    buckets = bucket_counts(df, cfg)
+    bucketed = apply_buckets(df, buckets)
     if done is not None and skipped:
         bucketed = bucketed.join(F.broadcast(done), ["source", "bucket"],
                                  "left_anti")
 
-    arranged = (bucketed
-                .repartition("source", "bucket")
-                .sortWithinPartitions("source", "bucket", "doc_id"))
+    arranged = _arrange(bucketed, buckets)
     blocks = arranged.mapInPandas(_encode_iter_factory(cfg), BLOCK_SCHEMA_DDL)
 
     (blocks.write.mode("overwrite")

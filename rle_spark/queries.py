@@ -1,0 +1,189 @@
+"""Named queries over the driver's test tables — each paired with a
+DuckDB oracle in __spark_entry__.py.
+
+Every callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/types match the oracle SQL exactly (the driver hash-
+compares values after sorting columns by name)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import analyze, similarity, textops
+from .engine import EngineConfig, encode_dataframe, decode_dataframe
+
+LINE_ORDER = ["l_orderkey", "l_linenumber"]
+STAT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- codec/engine family ---------------------------------------------------
+
+
+def q_run_stats_returnflag(spark, sf_dir):
+    return analyze.run_stats(_t(spark, sf_dir, "lineitem"),
+                             "l_returnflag", LINE_ORDER)
+
+
+def q_run_extract_orderstatus(spark, sf_dir):
+    return analyze.run_extract(_t(spark, sf_dir, "orders"),
+                               "o_orderstatus", ["o_orderkey"])
+
+
+def q_ref_rle8_size(spark, sf_dir):
+    return analyze.ref_rle8_size_v1(_t(spark, sf_dir, "lineitem"),
+                                    ["l_returnflag", "l_linestatus"],
+                                    LINE_ORDER)
+
+
+def q_column_codec_stats(spark, sf_dir):
+    return (analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
+                                       STAT_COLS, LINE_ORDER)
+            .orderBy("col_name"))
+
+
+def q_codec_selection(spark, sf_dir):
+    stats = analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
+                                       STAT_COLS, LINE_ORDER)
+    return analyze.codec_selection(stats)
+
+
+def q_tokenize_stats(spark, sf_dir):
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    token_sum = F.aggregate("tokens", F.lit(0).cast("long"),
+                            lambda acc, t: acc + t)
+    return (toks.select("source", "n_tok", token_sum.alias("tsum"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum("tsum").alias("token_id_sum"))
+            .orderBy("source"))
+
+
+def q_token_runs_by_source(spark, sf_dir):
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    head = F.expr("slice(tokens, 1, n_tok - 1)")
+    tail = F.expr("slice(tokens, 2, n_tok - 1)")
+    adj = F.when(F.col("n_tok") < 2, F.lit(0)).otherwise(
+        F.size(F.filter(F.zip_with(head, tail, lambda a, b: a == b),
+                        lambda x: x)))
+    return (toks.select("source", adj.alias("adj"))
+            .groupBy("source")
+            .agg(F.sum("adj").cast("long").alias("adjacent_equal_pairs"))
+            .orderBy("source"))
+
+
+# --- dedup family ------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return (textops.exact_dup_groups(_t(spark, sf_dir, "documents"))
+            .orderBy("text_hash"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return (textops.minhash_signatures(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+def q_near_dup_buckets(spark, sf_dir):
+    return (textops.near_dup_buckets(_t(spark, sf_dir, "documents"))
+            .orderBy("band", "band_hash"))
+
+
+def q_simhash(spark, sf_dir):  # rows-only check (xxhash64 not in DuckDB)
+    return textops.simhash64(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- text analysis -----------------------------------------------------
+
+
+def q_quality_by_source(spark, sf_dir):
+    return (textops.token_count_stats(_t(spark, sf_dir, "documents"))
+            .orderBy("source"))
+
+
+def q_langid_counts(spark, sf_dir):
+    lid = textops.langid_heuristic(_t(spark, sf_dir, "documents"))
+    return (lid.groupBy("lang_pred").agg(F.count("*").alias("n_docs"))
+            .orderBy("lang_pred"))
+
+
+# --- similarity ---------------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = similarity.cosine_topk(emb, [float(x) for x in qv], k=10)
+    return top.select("vec_id",
+                      F.round(F.col("cosine_sim"), 3).alias("sim_r3"))
+
+
+# --- general engine sanity (classic OLAP shapes) -------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # decimal-before-sum: exact decimal arithmetic on both engines so the
+    # oracle hash can never drift on float summation order
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+                 F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+                 F.sum(price * disc).cast("decimal(18,4)").alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                 .cast("decimal(18,2)").alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("n_name"))
+
+
+# --- full pipeline (rows-only / self-verifying oracles) -------------------
+
+
+_PIPE_CFG = EngineConfig(block_tokens=1 << 16, target_bucket_tokens=1 << 21)
+
+
+def q_encode_manifest(spark, sf_dir):
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    blocks = encode_dataframe(toks, _PIPE_CFG)
+    return (blocks.groupBy("source")
+            .agg(F.count("*").alias("n_blocks"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("orig_bytes").alias("orig_bytes"),
+                 F.sum("comp_bytes").alias("comp_bytes"))
+            .orderBy("source"))
+
+
+def q_roundtrip_matches(spark, sf_dir):
+    """Count docs whose decode is bit-identical, per source. The oracle
+    is plain `count(*) per source` — so any roundtrip corruption shows
+    up as a value mismatch against DuckDB."""
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    blocks = encode_dataframe(toks, _PIPE_CFG)
+    decoded = decode_dataframe(blocks)
+    joined = (toks.select("doc_id", "source", F.col("tokens").alias("t0"))
+              .join(decoded.select("doc_id", F.col("tokens").alias("t1")),
+                    "doc_id", "inner")
+              .filter(F.col("t0").eqNullSafe(F.col("t1"))))
+    return (joined.groupBy("source").agg(F.count("*").alias("n_docs_matched"))
+            .orderBy("source"))
