@@ -29,9 +29,21 @@ from .base import (
     unpack_sections,
 )
 from .dictionary import dict_decode, dict_encode
+from .entropy import (
+    compose_zlib,
+    decompose_zlib,
+    zlib_raw_decode,
+    zlib_raw_encode,
+)
 from .fsst import fsst_decode_bytes, fsst_encode_bytes
+from .lut import lut_decode_symbols, lut_encode_symbols
 from .mtf import mtf_decode_bytes, mtf_encode_bytes
-from .rle import rle_decode_symbols, rle_encode_symbols
+from .rle import (
+    rle_decode_multi,
+    rle_decode_symbols,
+    rle_encode_multi,
+    rle_encode_symbols,
+)
 from .single import single_decode_symbols, single_encode_symbols
 
 TOKEN_DTYPE = np.dtype("<i4")
@@ -168,6 +180,44 @@ def _fsst_decode(buf, n):
     return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
 
 
+def _rle128_encode(arr):
+    img = tokens_to_bytes(_as_tokens(arr))
+    pad = (-len(img)) % 16
+    if pad:
+        img = np.concatenate([img, np.zeros(pad, dtype=np.uint8)])
+    lanes = img.view("<u8").reshape(-1, 2)
+    return rle_encode_multi([np.ascontiguousarray(lanes[:, 0]),
+                             np.ascontiguousarray(lanes[:, 1])])
+
+
+def _rle128_decode(buf, n):
+    a, b = rle_decode_multi(buf, 2, np.uint64)
+    lanes = np.empty((len(a), 2), dtype="<u8")
+    lanes[:, 0] = a
+    lanes[:, 1] = b
+    return lanes.reshape(-1).view(np.uint8)[: n * 4].view(TOKEN_DTYPE).copy()
+
+
+def _rle32_lut_encode(arr):
+    return lut_encode_symbols(_as_tokens(arr).astype(np.int64))
+
+
+def _rle32_lut_decode(buf, n):
+    return lut_decode_symbols(buf, TOKEN_DTYPE)
+
+
+def _rle8_lz_encode(arr):
+    img = tokens_to_bytes(_as_tokens(arr))
+    sym, _ = byte_image_symbols(img, 8)
+    return compose_zlib(rle_encode_symbols(sym, packed=True))
+
+
+def _rle8_lz_decode(buf, n):
+    inner = decompose_zlib(bytes(buf))
+    sym = rle_decode_symbols(inner, np.uint8)
+    return sym[: n * 4].view(TOKEN_DTYPE).copy()
+
+
 # ---------------------------------------------------------------------------
 # estimates (cost model inputs: see selector.block_stats)
 # ---------------------------------------------------------------------------
@@ -232,14 +282,21 @@ _register(9, "rle8_single", _img_single8_encode, _img_single8_decode, lambda st:
 _register(10, "mtf16_rle8", _mtf_rle_encode(16), _mtf_rle_decode(16), lambda st: None)
 _register(11, "mtf32_rle8", _mtf_rle_encode(32), _mtf_rle_decode(32), lambda st: None)
 _register(12, "fsst8", _fsst_encode, _fsst_decode, lambda st: None)
+_register(13, "zlib_raw", zlib_raw_encode, zlib_raw_decode, lambda st: None)
+_register(14, "rle8_lz", _rle8_lz_encode, _rle8_lz_decode, lambda st: None)
+_register(15, "rle128_sym", _rle128_encode, _rle128_decode, lambda st: None)
+_register(16, "rle32_lut", _rle32_lut_encode, _rle32_lut_decode, lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
 # codecs cheap enough to probe (trial-encode) when estimates are close
-PROBE_CODECS = ["rle64_sym", "rle8", "rle16_sym", "rle8_single", "fsst8"]
-# expensive ratio-oriented codecs, only tried at effort="max"
-# (the reference's greedy-encoder tier, README.md:251-254)
-MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8"]
+PROBE_CODECS = ["rle64_sym", "rle128_sym", "rle8", "rle16_sym",
+                "rle8_single", "fsst8"]
+# ratio-oriented codecs, only tried at effort="max"
+# (the reference's greedy-encoder tier, README.md:251-254); zlib-backed
+# entries are the Low Entropy (F7) analogues
+MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
+                     "rle32_lut"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

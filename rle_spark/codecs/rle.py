@@ -90,6 +90,61 @@ def rle_encode_symbols(sym: np.ndarray, min_run: int = DEFAULT_MIN_RUN,
     ])
 
 
+def rle_encode_multi(components: list[np.ndarray],
+                     min_run: int = DEFAULT_MIN_RUN) -> bytes:
+    """Hybrid RLE over composite symbols given as parallel component
+    arrays (the 128-bit family: a 16-byte symbol = two u64 lanes,
+    /root/reference/src/rle128_extreme_cpu.h:47-50 uses __m128i the
+    same way). Run boundaries require ALL components equal."""
+    n = len(components[0])
+    if n == 0:
+        neq = np.zeros(0, dtype=bool)
+    else:
+        neq = np.zeros(n - 1, dtype=bool)
+        for comp in components:
+            neq |= comp[1:] != comp[:-1]
+    change = np.flatnonzero(neq) + 1
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [n])).astype(np.int64)
+    lens = ends - starts
+    keep = lens >= min_run
+    run_starts = starts[keep]
+    run_lens = lens[keep]
+    lit_starts = np.concatenate(([0], run_starts + run_lens))
+    lit_ends = np.concatenate((run_starts, [n]))
+    lit_lens = (lit_ends - lit_starts).astype(np.int64)
+    pos = (np.repeat(lit_starts, lit_lens) + inner_offsets(lit_lens)
+           if lit_lens.sum() else np.zeros(0, np.int64))
+    parts = [pack_ints(run_lens), pack_ints(lit_lens)]
+    for comp in components:
+        parts.append(pack_ints(comp[run_starts] if len(run_starts) else comp[:0]))
+        parts.append(pack_ints(comp[pos] if len(pos) else comp[:0]))
+    return pack_sections(parts)
+
+
+def rle_decode_multi(buf: bytes | memoryview, n_components: int,
+                     dtype) -> list[np.ndarray]:
+    s = unpack_sections(buf)
+    run_lens = unpack_ints(s[0])
+    lit_lens = unpack_ints(s[1])
+    k = len(run_lens)
+    seg = np.empty(2 * k + 1, dtype=np.int64)
+    seg[0::2] = lit_lens
+    seg[1::2] = run_lens
+    starts = np.cumsum(seg) - seg
+    n = int(seg.sum())
+    out = []
+    for c in range(n_components):
+        run_values = unpack_ints(s[2 + 2 * c])
+        lit_values = unpack_ints(s[3 + 2 * c])
+        comp = np.empty(n, dtype=np.int64)
+        scatter_segments(comp, starts[0::2], lit_lens, lit_values)
+        fill_runs(comp, starts[1::2], run_lens, run_values)
+        out.append(comp.astype(dtype, copy=False)
+                   if np.dtype(dtype) != np.int64 else comp)
+    return out
+
+
 def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     """Decode to a symbol array of the given integer dtype."""
     s = unpack_sections(buf)
