@@ -15,9 +15,31 @@ import numpy as np
 from .base import pack_ints, pack_sections, unpack_ints, unpack_sections
 
 
+_DENSE_SPAN = 1 << 20
+
+
+def _unique_inverse(a: np.ndarray):
+    """np.unique(return_inverse) with an O(n + span) dense fast path
+    for narrow value ranges (token vocabularies), avoiding the
+    O(n log n) sort."""
+    if len(a) == 0:
+        return a, np.zeros(0, dtype=np.int64)
+    lo = int(a.min())
+    span = int(a.max()) - lo + 1
+    if 0 < span <= _DENSE_SPAN:
+        offs = (a - lo).astype(np.int64)
+        present = np.zeros(span, dtype=bool)
+        present[offs] = True
+        uniq_off = np.flatnonzero(present)
+        rank = np.empty(span, dtype=np.int64)
+        rank[uniq_off] = np.arange(len(uniq_off))
+        return uniq_off + lo, rank[offs]
+    return np.unique(a, return_inverse=True)
+
+
 def dict_encode(arr: np.ndarray) -> bytes:
     a = np.ascontiguousarray(arr, dtype=np.int64)
-    uniq, inv = np.unique(a, return_inverse=True)
+    uniq, inv = _unique_inverse(a)
     deltas = np.diff(uniq, prepend=uniq[:1]) if len(uniq) else uniq
     if len(uniq):
         deltas = deltas.copy()

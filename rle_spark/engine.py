@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import __version__
 from .blocks import BLOCK_SCHEMA_DDL, DECODED_SCHEMA_DDL, decode_block, frame_payload, split_docs
-from .selector import SelectorConfig, select_and_encode
+from .selector import SelectorConfig, StickySelector
 
 
 @dataclass
@@ -164,6 +164,7 @@ def _encode_iter_factory(cfg: EngineConfig):
         # All slicing below is over vectorized group/block boundaries —
         # Python loops run per GROUP and per BLOCK, never per row.
         state = {"key": None, "docs": [], "ids": [], "ntok": 0, "seq": {}}
+        sticky = StickySelector(sel_cfg)
 
         def flush():
             if not state["ids"]:
@@ -175,7 +176,7 @@ def _encode_iter_factory(cfg: EngineConfig):
                                    dtype=np.int64, count=len(state["docs"]))
             tokens = (np.concatenate(state["docs"]).astype(np.int32, copy=False)
                       if state["docs"] else np.zeros(0, dtype=np.int32))
-            name, payload, _st = select_and_encode(tokens, sel_cfg)
+            name, payload = sticky.encode(state["key"], tokens)
             framed = frame_payload(name, len(tokens), payload)
             row = pd.DataFrame({
                 "block_id": [_block_id(source, bucket, seq)],

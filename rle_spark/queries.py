@@ -164,7 +164,10 @@ _PIPE_CFG = EngineConfig(block_tokens=1 << 16, target_bucket_tokens=1 << 21)
 
 
 def q_encode_manifest(spark, sf_dir):
-    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    # cache: the bucket-stats pass and the encode pass would otherwise
+    # each re-run the md5 tokenization (at 100 TB the token table is a
+    # persisted Iceberg table, not a derived view — this mirrors that)
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents")).cache()
     blocks = encode_dataframe(toks, _PIPE_CFG)
     return (blocks.groupBy("source")
             .agg(F.count("*").alias("n_blocks"),
@@ -178,8 +181,8 @@ def q_roundtrip_matches(spark, sf_dir):
     """Count docs whose decode is bit-identical, per source. The oracle
     is plain `count(*) per source` — so any roundtrip corruption shows
     up as a value mismatch against DuckDB."""
-    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
-    blocks = encode_dataframe(toks, _PIPE_CFG)
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents")).cache()
+    blocks = encode_dataframe(toks, _PIPE_CFG).cache()
     decoded = decode_dataframe(blocks)
     joined = (toks.select("doc_id", "source", F.col("tokens").alias("t0"))
               .join(decoded.select("doc_id", F.col("tokens").alias("t1")),

@@ -75,6 +75,9 @@ class SelectorConfig:
     allow: list[str] = field(default_factory=list)  # allow-list; [] = all
     probe_run_frac: float = 0.7  # probe byte-image codecs when
                                  # n_runs/n below this (repetitive data)
+    memo_every: int = 8  # full re-selection every Nth block per group;
+                         # in between, encode with the sticky winner
+                         # (raw-guarded). 1 = always full selection.
 
 
 def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
@@ -132,3 +135,33 @@ def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
     if best_payload is None:
         best_payload = REGISTRY["raw"].encode(arr)
     return best_name, best_payload, st
+
+
+class StickySelector:
+    """Per-group codec memo: blocks of one (source, bucket) stream are
+    near-identically distributed, so the full stats+trial selection
+    runs on every `memo_every`-th block and the winner is reused in
+    between (always raw-guarded so data can never inflate).
+
+    This is the per-partition mirror of the reference's 'pick a codec
+    per file' usage — the cost model runs per block only as often as
+    the data actually drifts."""
+
+    def __init__(self, cfg: SelectorConfig | None = None):
+        self.cfg = cfg or SelectorConfig()
+        self._memo: dict = {}   # group -> (codec_name, uses_left)
+
+    def encode(self, group, arr: np.ndarray) -> tuple[str, bytes]:
+        cfg = self.cfg
+        memo = self._memo.get(group)
+        if memo is not None and memo[1] > 0 and cfg.memo_every > 1:
+            name, left = memo
+            payload = REGISTRY[name].encode(arr)
+            raw_size = 4 * len(arr) + 16
+            if payload is not None and len(payload) < raw_size:
+                self._memo[group] = (name, left - 1)
+                return name, payload
+            # sticky choice went stale -> fall through to full selection
+        name, payload, _st = select_and_encode(arr, cfg)
+        self._memo[group] = (name, cfg.memo_every - 1)
+        return name, payload
