@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec / engine family (SURVEY.md §2.1, §2.3)
         "run_stats_returnflag": Q.q_run_stats_returnflag,
         "run_extract_orderstatus": Q.q_run_extract_orderstatus,
+        "run_length_histogram": Q.q_run_length_histogram,
         "ref_rle8_size": Q.q_ref_rle8_size,
         "column_codec_stats": Q.q_column_codec_stats,
         "codec_selection": Q.q_codec_selection,
@@ -190,6 +191,13 @@ def oracle_sql() -> dict[str, str]:
       SELECT CAST(s AS BIGINT) AS start_rn, value,
              CAST(run_len AS BIGINT) AS run_len
       FROM runs ORDER BY s"""
+
+    sql["run_length_histogram"] = f"""
+      WITH runs AS ({_runs_cte('l_returnflag', 'lineitem',
+                               'l_orderkey, l_linenumber')})
+      SELECT CAST(length(bin(run_len)) - 1 AS INT) AS bit_class,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1 ORDER BY 1"""
 
     sql["ref_rle8_size"] = (_ref_rle8_sql("l_returnflag") + " UNION ALL "
                             + _ref_rle8_sql("l_linestatus")

@@ -42,7 +42,8 @@ SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "2"))
 
 HEADLINE = [
     "encode_manifest", "roundtrip_matches", "tokenize_stats",
-    "run_stats_returnflag", "run_extract_orderstatus", "column_codec_stats",
+    "run_stats_returnflag", "run_extract_orderstatus", "run_length_histogram",
+    "column_codec_stats",
     "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
     "near_dup_buckets", "quality_by_source", "langid_counts", "ann_topk",
     "pricing_summary", "revenue_by_nation", "token_runs_by_source",

@@ -50,6 +50,23 @@ def run_extract(df: DataFrame, col: str, order: list[str]) -> DataFrame:
     return runs.select("start_rn", "value", "run_len").orderBy("start_rn")
 
 
+def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame:
+    """Run lengths bucketed by bit class (floor(log2(len))) — the
+    AnalyzeData run-length histogram (/root/reference/src/main.c:1246+,
+    'run lengths by bit-class'), as a window+agg plan."""
+    w_all = Window.orderBy(*order)
+    w_val = Window.partitionBy(col).orderBy(*order)
+    runs = (df.select(F.col(col).alias("value"),
+                      (F.row_number().over(w_all)
+                       - F.row_number().over(w_val)).alias("grp"))
+            .groupBy("value", "grp").agg(F.count("*").alias("run_len")))
+    bit_class = (F.length(F.bin(F.col("run_len"))) - 1).alias("bit_class")
+    return (runs.select(bit_class)
+            .groupBy("bit_class")
+            .agg(F.count("*").alias("n_runs"))
+            .orderBy("bit_class"))
+
+
 def column_codec_stats(df: DataFrame, cols: list[str],
                        order: list[str]) -> DataFrame:
     """Whole-column codec stats (n, min, max, distinct, runs) computed

@@ -43,6 +43,8 @@ from .rle import (
     rle_decode_symbols,
     rle_encode_multi,
     rle_encode_symbols,
+    rle_stride_decode_bytes,
+    rle_stride_encode_bytes,
 )
 from .single import single_decode_symbols, single_encode_symbols
 
@@ -282,21 +284,42 @@ _register(9, "rle8_single", _img_single8_encode, _img_single8_decode, lambda st:
 _register(10, "mtf16_rle8", _mtf_rle_encode(16), _mtf_rle_decode(16), lambda st: None)
 _register(11, "mtf32_rle8", _mtf_rle_encode(32), _mtf_rle_decode(32), lambda st: None)
 _register(12, "fsst8", _fsst_encode, _fsst_decode, lambda st: None)
+def _stride_encode(stride):
+    def enc(arr):
+        return rle_stride_encode_bytes(tokens_to_bytes(_as_tokens(arr)), stride)
+    return enc
+
+
+def _stride_decode(stride):
+    def dec(buf, n):
+        img = rle_stride_decode_bytes(buf)[: n * 4]
+        return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+    return dec
+
+
 _register(13, "zlib_raw", zlib_raw_encode, zlib_raw_decode, lambda st: None)
 _register(14, "rle8_lz", _rle8_lz_encode, _rle8_lz_decode, lambda st: None)
 _register(15, "rle128_sym", _rle128_encode, _rle128_decode, lambda st: None)
 _register(16, "rle32_lut", _rle32_lut_encode, _rle32_lut_decode, lambda st: None)
+# byte-aligned (UNBOUND) family: stride in bytes = 16/24/32/48/64/128-bit
+_register(17, "rle16_byte", _stride_encode(2), _stride_decode(2), lambda st: None)
+_register(18, "rle24_byte", _stride_encode(3), _stride_decode(3), lambda st: None)
+_register(19, "rle32_byte", _stride_encode(4), _stride_decode(4), lambda st: None)
+_register(20, "rle48_byte", _stride_encode(6), _stride_decode(6), lambda st: None)
+_register(21, "rle64_byte", _stride_encode(8), _stride_decode(8), lambda st: None)
+_register(22, "rle128_byte", _stride_encode(16), _stride_decode(16), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
 # codecs cheap enough to probe (trial-encode) when estimates are close
 PROBE_CODECS = ["rle64_sym", "rle128_sym", "rle8", "rle16_sym",
-                "rle8_single", "fsst8"]
+                "rle8_single", "fsst8", "rle32_byte"]
 # ratio-oriented codecs, only tried at effort="max"
 # (the reference's greedy-encoder tier, README.md:251-254); zlib-backed
 # entries are the Low Entropy (F7) analogues
 MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
-                     "rle32_lut"]
+                     "rle32_lut", "rle16_byte", "rle24_byte", "rle48_byte",
+                     "rle64_byte", "rle128_byte"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

@@ -145,6 +145,78 @@ def rle_decode_multi(buf: bytes | memoryview, n_components: int,
     return out
 
 
+def rle_stride_encode_bytes(img: np.ndarray, stride: int,
+                            min_run: int = 8) -> bytes:
+    """Byte-aligned (UNBOUND) RLE: a run is a maximal byte interval
+    where img[i] == img[i-stride], so runs start anywhere and may end
+    inside a partial trailing symbol — the reference's byte-aligned
+    semantics (/root/reference/src/rleX_extreme_cpu.h:23-35, partial
+    tail extension src/rleX_extreme_cpu_encode.h:114-164). The stride
+    covers the 16/24/32/48/64/128-bit widths as stride 2/3/4/6/8/16.
+
+    Sections: [stride u8 header][run_lens][lit_lens][seeds raw]
+    [literal bytes raw]. Each run stores its `stride` seed bytes
+    explicitly (like the reference command's inline symbol), so decode
+    is a dependency-free vectorized pattern fill.
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    n = len(img)
+    if n > stride:
+        m = img[stride:] == img[:-stride]
+        starts, lens = find_runs(m)
+        good = m[starts] & (lens >= max(min_run, stride + 2))
+        iv_start = starts[good] + stride  # covered byte interval start
+        iv_len = lens[good]
+    else:
+        iv_start = np.zeros(0, dtype=np.int64)
+        iv_len = np.zeros(0, dtype=np.int64)
+    k = len(iv_start)
+    lit_starts = np.concatenate(([0], iv_start + iv_len))
+    lit_ends = np.concatenate((iv_start, [n]))
+    lit_lens = (lit_ends - lit_starts).astype(np.int64)
+    if lit_lens.sum():
+        pos = np.repeat(lit_starts, lit_lens) + inner_offsets(lit_lens)
+        lit_bytes = img[pos]
+    else:
+        lit_bytes = img[:0]
+    if k:
+        seed_pos = (np.repeat(iv_start - stride, stride)
+                    + inner_offsets(np.full(k, stride, dtype=np.int64)))
+        seeds = img[seed_pos]
+    else:
+        seeds = img[:0]
+    return pack_sections([
+        bytes([stride]),
+        pack_ints(iv_len),
+        pack_ints(lit_lens),
+        seeds.tobytes(),
+        lit_bytes.tobytes(),
+    ])
+
+
+def rle_stride_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
+    s = unpack_sections(buf)
+    stride = s[0][0]
+    run_lens = unpack_ints(s[1])
+    lit_lens = unpack_ints(s[2])
+    seeds = np.frombuffer(s[3], dtype=np.uint8)
+    lit_bytes = np.frombuffer(s[4], dtype=np.uint8)
+    k = len(run_lens)
+    seg = np.empty(2 * k + 1, dtype=np.int64)
+    seg[0::2] = lit_lens
+    seg[1::2] = run_lens
+    starts = np.cumsum(seg) - seg
+    out = np.empty(int(seg.sum()), dtype=np.uint8)
+    scatter_segments(out, starts[0::2], lit_lens, lit_bytes)
+    if k:
+        # pattern fill: out[run_start + j] = seed[j % stride]
+        inner = inner_offsets(run_lens)
+        dest = np.repeat(starts[1::2], run_lens) + inner
+        seed_base = np.repeat(np.arange(k, dtype=np.int64) * stride, run_lens)
+        out[dest] = seeds[seed_base + inner % stride]
+    return out
+
+
 def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     """Decode to a symbol array of the given integer dtype."""
     s = unpack_sections(buf)

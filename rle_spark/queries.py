@@ -41,6 +41,11 @@ def q_ref_rle8_size(spark, sf_dir):
                                     LINE_ORDER)
 
 
+def q_run_length_histogram(spark, sf_dir):
+    return analyze.run_length_histogram(_t(spark, sf_dir, "lineitem"),
+                                        "l_returnflag", LINE_ORDER)
+
+
 def q_column_codec_stats(spark, sf_dir):
     return (analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
                                        STAT_COLS, LINE_ORDER)
