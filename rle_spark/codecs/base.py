@@ -128,18 +128,19 @@ def pack_ints(arr: np.ndarray) -> bytes:
     range whose span fits in < 2^63.
     """
     a = np.asarray(arr)
-    if a.dtype != np.int64:
-        # unsafe cast == two's-complement reinterpretation for uint64 —
-        # all arithmetic below is mod 2^64, so roundtrip stays exact
-        a = a.astype(np.int64)
-    a = np.ascontiguousarray(a)
+    if a.dtype == np.uint64:
+        # free two's-complement reinterpretation — all arithmetic below
+        # is mod 2^64, so roundtrip stays exact
+        a = a.view(np.int64)
     n = len(a)
     if n == 0:
         return struct.pack("<qBQ", 0, 0, 0)
     lo = int(a.min())
     span = int(a.max()) - lo  # python ints: no overflow even for full range
     w = bit_width(span)
-    payload = pack_bits((a - np.int64(lo)).view(np.uint64), w)
+    # single fused pass from the source dtype to the int64 remainders
+    d = np.subtract(a, np.int64(lo), dtype=np.int64)
+    payload = pack_bits(d.view(np.uint64), w)
     return struct.pack("<qBQ", lo, w, n) + payload
 
 
@@ -163,6 +164,19 @@ def pack_ints_size(n: int, lo: int, hi: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_ARANGE = np.zeros(0, dtype=np.int64)
+
+
+def _arange_view(n: int) -> np.ndarray:
+    """Read-only view of [0..n) from a grow-on-demand cached iota —
+    avoids re-faulting a fresh arange buffer in every kernel call
+    (the hot loops run per Arrow batch, thousands of times per task)."""
+    global _ARANGE
+    if len(_ARANGE) < n:
+        _ARANGE = np.arange(max(n, 2 * len(_ARANGE)), dtype=np.int64)
+    return _ARANGE[:n]
+
+
 def inner_offsets(lens: np.ndarray) -> np.ndarray:
     """For segments with the given lengths, return the concatenated
     0..len_i-1 ranges: [0,1,..,l0-1, 0,1,..,l1-1, ...]."""
@@ -171,7 +185,8 @@ def inner_offsets(lens: np.ndarray) -> np.ndarray:
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     starts = np.cumsum(lens) - lens
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    rep = np.repeat(starts, lens)
+    return np.subtract(_arange_view(total), rep, out=rep)
 
 
 def scatter_segments(dest: np.ndarray, dest_starts: np.ndarray,
@@ -206,10 +221,15 @@ def find_runs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    change = np.flatnonzero(a[1:] != a[:-1]) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [n]))
-    return starts.astype(np.int64), (ends - starts).astype(np.int64)
+    change = (a[1:] != a[:-1]).nonzero()[0]  # int64 already
+    k = len(change)
+    starts = np.empty(k + 1, dtype=np.int64)
+    starts[0] = 0
+    np.add(change, 1, out=starts[1:])
+    lens = np.empty(k + 1, dtype=np.int64)
+    np.subtract(starts[1:], starts[:-1], out=lens[:k])
+    lens[k] = n - starts[k]
+    return starts, lens
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,17 @@ class EngineConfig:
     min_buckets: int = 1
     selector: SelectorConfig = field(default_factory=SelectorConfig)
     parquet_codec: str = "zstd"
+    # layout = how blocks are grouped on disk:
+    #   "clustered": one explicit shuffle to (source, bucket) partitions —
+    #     re-clusters arbitrary input, manifest-level resume skips
+    #     committed buckets (the north-star repartition+salt path).
+    #   "mapside": ZERO shuffle — encode rides the scan partitions
+    #     (bucket = task partition id). The at-scale default when the
+    #     table is already source-clustered (Iceberg write layout):
+    #     no 2x network+spill of the token payload, parallelism =
+    #     split count, skew bounded by spark.sql.files.maxPartitionBytes
+    #     rather than by key salting.
+    layout: str = "clustered"
 
 
 def get_spark(app: str = "rle_spark", cpus: int | None = None,
@@ -154,70 +165,173 @@ def _block_id(source: str, bucket: int, seq: int) -> str:
     return f"{source}:{bucket:05d}:{seq:06d}"
 
 
-def _encode_iter_factory(cfg: EngineConfig):
+# Arrow schema mirror of BLOCK_SCHEMA_DDL (mapInArrow needs pa types)
+def _block_arrow_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("block_id", pa.string()),
+        ("source", pa.string()),
+        ("bucket", pa.int32()),
+        ("seq", pa.int32()),
+        ("n_docs", pa.int32()),
+        ("n_tokens", pa.int64()),
+        ("doc_ids", pa.list_(pa.string())),
+        ("doc_lens", pa.list_(pa.int32())),
+        ("codec", pa.string()),
+        ("orig_bytes", pa.int64()),
+        ("comp_bytes", pa.int64()),
+        ("payload", pa.binary()),
+    ])
+
+
+# keep a yielded output batch's payload bytes below this (binary
+# columns carry int32 offsets -> 2 GiB ceiling per Arrow array)
+_OUT_FLUSH_BYTES = 512 << 20
+
+
+def _encode_iter_factory(cfg: EngineConfig, mapside: bool = False):
+    """mapInArrow kernel: Arrow RecordBatch in -> block RecordBatch out.
+
+    The token column is consumed through the ListArray's FLAT values
+    buffer (`offsets` + `values`) — the per-doc arrays are never
+    materialized as Python objects, so the only O(data) work between
+    the parquet scan and the codec kernel is one contiguous int32
+    slice per block. This is the Spark/Arrow analogue of the
+    reference operating on a single `uint8_t*` buffer
+    (/root/reference/src/rle.h:100-105): the Arrow value buffer IS
+    that buffer. Python loops run per GROUP and per BLOCK, never per
+    row/doc.
+
+    One open block is kept per (source, bucket) key, so input does
+    NOT need to be sorted by key — clustered mode feeds whole-key
+    partitions, mapside mode feeds raw scan splits with interleaved
+    sources; both stream through the same state machine with
+    O(n_keys * block_tokens) memory.
+    """
+    import pyarrow as pa
+
     block_tokens = cfg.block_tokens
     sel_cfg = cfg.selector
+    out_schema = _block_arrow_schema()
 
     def encode_iter(batches):
-        # per-partition streaming state: rows arrive sorted by
-        # (source, bucket, doc_id) thanks to sortWithinPartitions.
-        # All slicing below is over vectorized group/block boundaries —
-        # Python loops run per GROUP and per BLOCK, never per row.
-        state = {"key": None, "docs": [], "ids": [], "ntok": 0, "seq": {}}
         sticky = StickySelector(sel_cfg)
+        seqs: dict = {}
+        if mapside:
+            from pyspark import TaskContext
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+        # open blocks carried across batch boundaries, one per key:
+        # fragments of the flat token buffer + parallel id/len fragments
+        open_blocks: dict = {}
 
-        def flush():
-            if not state["ids"]:
-                return None
-            source, bucket = state["key"]
-            seq = state["seq"].get(state["key"], 0)
-            state["seq"][state["key"]] = seq + 1
-            doc_lens = np.fromiter((len(t) for t in state["docs"]),
-                                   dtype=np.int64, count=len(state["docs"]))
-            tokens = (np.concatenate(state["docs"]).astype(np.int32, copy=False)
-                      if state["docs"] else np.zeros(0, dtype=np.int32))
-            name, payload = sticky.encode(state["key"], tokens)
+        def _fresh():
+            return {"toks": [], "ids": [], "lens": [], "ntok": 0,
+                    "ndocs": 0}
+        # completed-block accumulators (scalars + fragments per block)
+        out: dict = {k: [] for k in ("block_id", "source", "bucket", "seq",
+                                     "n_docs", "n_tokens", "codec",
+                                     "orig_bytes", "comp_bytes", "payload")}
+        out_ids: list = []    # one (list of pa.Array fragments) per block
+        out_lens: list = []   # one np.int32 array per block
+        out_bytes = 0
+
+        def flush_block(key):
+            nonlocal out_bytes
+            cur = open_blocks.get(key)
+            if cur is None or not cur["ndocs"]:
+                return
+            source, bucket = key
+            seq = seqs.get(key, 0)
+            seqs[key] = seq + 1
+            tokens = (cur["toks"][0] if len(cur["toks"]) == 1
+                      else np.concatenate(cur["toks"])
+                      if cur["toks"] else np.zeros(0, np.int32))
+            name, payload = sticky.encode(key, tokens)
             framed = frame_payload(name, len(tokens), payload)
-            row = pd.DataFrame({
-                "block_id": [_block_id(source, bucket, seq)],
-                "source": [source],
-                "bucket": [bucket],
-                "seq": [seq],
-                "n_docs": [len(doc_lens)],
-                "n_tokens": [int(len(tokens))],
-                "doc_ids": [list(state["ids"])],
-                "doc_lens": [doc_lens.astype(np.int32).tolist()],
-                "codec": [name],
-                "orig_bytes": [int(4 * len(tokens))],
-                "comp_bytes": [int(len(framed))],
-                "payload": [framed],
-            })
-            state["docs"], state["ids"], state["ntok"] = [], [], 0
-            return row
+            out["block_id"].append(_block_id(source, bucket, seq))
+            out["source"].append(source)
+            out["bucket"].append(bucket)
+            out["seq"].append(seq)
+            out["n_docs"].append(cur["ndocs"])
+            out["n_tokens"].append(len(tokens))
+            out["codec"].append(name)
+            out["orig_bytes"].append(4 * len(tokens))
+            out["comp_bytes"].append(len(framed))
+            out["payload"].append(framed)
+            out_ids.append(cur["ids"])
+            out_lens.append(np.concatenate(cur["lens"]) if cur["lens"]
+                            else np.zeros(0, np.int32))
+            out_bytes += len(framed)
+            cur.update(toks=[], ids=[], lens=[], ntok=0, ndocs=0)
 
-        for pdf in batches:
-            out = []
-            n = len(pdf)
+        def emit_batch():
+            nonlocal out_bytes
+            if not out["block_id"]:
+                return None
+            id_counts = np.fromiter(
+                (sum(len(f) for f in frags) for frags in out_ids),
+                dtype=np.int64, count=len(out_ids))
+            id_offsets = np.concatenate(([0], np.cumsum(id_counts)))
+            id_values = pa.concat_arrays(
+                [f for frags in out_ids for f in frags] or
+                [pa.array([], pa.string())])
+            len_counts = np.fromiter((len(a) for a in out_lens),
+                                     dtype=np.int64, count=len(out_lens))
+            len_offsets = np.concatenate(([0], np.cumsum(len_counts)))
+            len_values = (np.concatenate(out_lens) if out_lens
+                          else np.zeros(0, np.int32))
+            batch = pa.record_batch([
+                pa.array(out["block_id"], pa.string()),
+                pa.array(out["source"], pa.string()),
+                pa.array(out["bucket"], pa.int32()),
+                pa.array(out["seq"], pa.int32()),
+                pa.array(out["n_docs"], pa.int32()),
+                pa.array(out["n_tokens"], pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(id_offsets, pa.int32()), id_values),
+                pa.ListArray.from_arrays(
+                    pa.array(len_offsets, pa.int32()),
+                    pa.array(len_values.astype(np.int32, copy=False))),
+                pa.array(out["codec"], pa.string()),
+                pa.array(out["orig_bytes"], pa.int64()),
+                pa.array(out["comp_bytes"], pa.int64()),
+                pa.array(out["payload"], pa.binary()),
+            ], schema=out_schema)
+            for v in out.values():
+                v.clear()
+            out_ids.clear()
+            out_lens.clear()
+            out_bytes = 0
+            return batch
+
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
-            sources = pdf["source"].to_numpy()
-            bucks = pdf["bucket"].to_numpy(dtype=np.int64)
-            ids = pdf["doc_id"].to_numpy()
-            toks = pdf["tokens"].to_numpy()
-            ntoks = pdf["n_tok"].to_numpy(dtype=np.int64)
+            sources = rb.column("source").to_numpy(zero_copy_only=False)
+            if mapside:
+                bucks = np.full(n, pid, dtype=np.int64)
+            else:
+                bucks = rb.column("bucket").to_numpy(zero_copy_only=False)
+            ids_arr = rb.column("doc_id")
+            tok_col = rb.column("tokens")
+            offs = tok_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = tok_col.values.to_numpy(zero_copy_only=False)
+            if flat.dtype != np.int32:
+                flat = flat.astype(np.int32)
+            doc_lens = np.diff(offs).astype(np.int32)
             # group boundaries within the batch (usually 0 or few)
             chg = np.flatnonzero(
                 (sources[1:] != sources[:-1]) | (bucks[1:] != bucks[:-1])) + 1
             bounds = np.concatenate(([0], chg, [n]))
             for g0, g1 in zip(bounds[:-1], bounds[1:]):
                 key = (sources[g0], int(bucks[g0]))
-                if key != state["key"]:
-                    r = flush()
-                    if r is not None:
-                        out.append(r)
-                    state["key"] = key
+                cur = open_blocks.get(key)
+                if cur is None:
+                    cur = open_blocks[key] = _fresh()
                 # block cut points via cumulative token counts
-                cum = np.cumsum(ntoks[g0:g1]) + state["ntok"]
+                cum = np.cumsum(doc_lens[g0:g1], dtype=np.int64) + cur["ntok"]
                 cuts = [g0]
                 target = block_tokens
                 while True:
@@ -228,19 +342,23 @@ def _encode_iter_factory(cfg: EngineConfig):
                     target = cum[nxt - 1] + block_tokens
                 cuts.append(g1)
                 for c0, c1 in zip(cuts[:-1], cuts[1:]):
-                    state["ids"].extend(ids[c0:c1].tolist())
-                    state["docs"].extend(toks[c0:c1].tolist())
-                    state["ntok"] = int(cum[c1 - g0 - 1]
-                                        - (cum[c0 - g0 - 1] if c0 > g0 else 0))
-                    if c1 != g1 or state["ntok"] >= block_tokens:
-                        r = flush()
-                        if r is not None:
-                            out.append(r)
-            if out:
-                yield pd.concat(out, ignore_index=True)
-        r = flush()
-        if r is not None:
-            yield r
+                    cur["toks"].append(flat[offs[c0]:offs[c1]])
+                    cur["ids"].append(ids_arr.slice(c0, c1 - c0))
+                    cur["lens"].append(doc_lens[c0:c1])
+                    cur["ndocs"] += c1 - c0
+                    cur["ntok"] = int(cum[c1 - g0 - 1]
+                                      - (cum[c0 - g0 - 1] if c0 > g0 else 0))
+                    if c1 != g1 or cur["ntok"] >= block_tokens:
+                        flush_block(key)
+            if out_bytes >= _OUT_FLUSH_BYTES:
+                b = emit_batch()
+                if b is not None:
+                    yield b
+        for key in list(open_blocks):
+            flush_block(key)
+        b = emit_batch()
+        if b is not None:
+            yield b
 
     return encode_iter
 
@@ -251,9 +369,12 @@ def encode_dataframe(df: DataFrame, cfg: EngineConfig | None = None) -> DataFram
     Lazy: returns the block DataFrame; one shuffle (source, bucket).
     """
     cfg = cfg or EngineConfig()
+    if cfg.layout == "mapside":
+        return df.mapInArrow(_encode_iter_factory(cfg, mapside=True),
+                             BLOCK_SCHEMA_DDL)
     buckets = bucket_counts(df, cfg)
     arranged = _arrange(apply_buckets(df, buckets), buckets)
-    return arranged.mapInPandas(_encode_iter_factory(cfg), BLOCK_SCHEMA_DDL)
+    return arranged.mapInArrow(_encode_iter_factory(cfg), BLOCK_SCHEMA_DDL)
 
 
 def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
@@ -269,22 +390,38 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     done = None
     skipped = 0
     if resume and os.path.exists(manifest_path):
+        if cfg.layout == "mapside":
+            raise ValueError(
+                "resume over an existing manifest requires layout='clustered'"
+                " (mapside bucket ids are scan-split ordinals, not stable"
+                " keys to anti-join on)")
         done = spark.read.parquet(manifest_path).select("source", "bucket")
         skipped = done.count()
 
-    buckets = bucket_counts(df, cfg)
-    bucketed = apply_buckets(df, buckets)
-    if done is not None and skipped:
-        bucketed = bucketed.join(F.broadcast(done), ["source", "bucket"],
-                                 "left_anti")
+    if cfg.layout == "mapside":
+        blocks = df.mapInArrow(_encode_iter_factory(cfg, mapside=True),
+                               BLOCK_SCHEMA_DDL)
+    else:
+        buckets = bucket_counts(df, cfg)
+        bucketed = apply_buckets(df, buckets)
+        if done is not None and skipped:
+            bucketed = bucketed.join(F.broadcast(done), ["source", "bucket"],
+                                     "left_anti")
+        arranged = _arrange(bucketed, buckets)
+        blocks = arranged.mapInArrow(_encode_iter_factory(cfg),
+                                     BLOCK_SCHEMA_DDL)
 
-    arranged = _arrange(bucketed, buckets)
-    blocks = arranged.mapInPandas(_encode_iter_factory(cfg), BLOCK_SCHEMA_DDL)
-
-    (blocks.write.mode("overwrite")
-     .option("compression", cfg.parquet_codec)
-     .partitionBy("source", "bucket")
-     .parquet(blocks_path))
+    writer = (blocks.write.mode("overwrite")
+              .option("compression", cfg.parquet_codec))
+    if cfg.layout != "mapside":
+        # clustered layout: physical source=/bucket= dirs give partition
+        # pruning + per-bucket idempotent overwrite (resume). mapside
+        # writes one file per scan split instead — the per-directory
+        # commit cost is serial at the driver and would dominate with
+        # thousands of (source, split) pairs; row-group stats on the
+        # source/bucket columns still prune reads.
+        writer = writer.partitionBy("source", "bucket")
+    writer.parquet(blocks_path)
 
     # manifest from the committed files (ground truth, not the lazy plan)
     on_disk = spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
@@ -329,25 +466,55 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
 
 
 def _decode_iter(batches):
-    for pdf in batches:
-        out_ids: list = []
-        out_tokens: list = []
-        for payload, doc_ids, doc_lens in zip(
-                pdf["payload"], pdf["doc_ids"], pdf["doc_lens"]):
-            tokens = decode_block(bytes(payload))
-            lens = np.asarray(doc_lens, dtype=np.int64)
-            out_ids.extend(list(doc_ids))
-            out_tokens.extend(t for t in split_docs(tokens, lens))
-        yield pd.DataFrame({
-            "doc_id": out_ids,
-            "tokens": [t.astype(np.int32) for t in out_tokens],
-        })
+    """mapInArrow inverse: block rows -> (doc_id, tokens) rows.
+
+    One codec-kernel call per BLOCK; the per-doc re-slicing is pure
+    offset arithmetic on the flat decoded buffer (a single
+    ListArray.from_arrays call) — zero per-doc Python, mirroring the
+    encoder.
+    """
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        payloads = rb.column("payload")
+        ids_col = rb.column("doc_ids")
+        lens_col = rb.column("doc_lens")
+        # chunk the output so one yielded batch stays < ~2^31 values
+        row0 = 0
+        n = rb.num_rows
+        while row0 < n:
+            row1, tok_budget = row0, 256 << 20  # 256M tokens/out batch
+            flats = []
+            while row1 < n:
+                t = decode_block(payloads[row1].as_py())
+                flats.append(t)
+                tok_budget -= len(t)
+                row1 += 1
+                if tok_budget <= 0:
+                    break
+            flat = (flats[0] if len(flats) == 1
+                    else np.concatenate(flats)
+                    if flats else np.zeros(0, np.int32))
+            lens_slice = lens_col.slice(row0, row1 - row0)
+            doc_lens = lens_slice.flatten().to_numpy(zero_copy_only=False)
+            offsets = np.concatenate(
+                ([0], np.cumsum(doc_lens, dtype=np.int64)))
+            ids_slice = ids_col.slice(row0, row1 - row0)
+            id_values = ids_slice.flatten()
+            tokens_list = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(flat.astype(np.int32, copy=False)))
+            yield pa.record_batch(
+                [id_values, tokens_list], names=["doc_id", "tokens"])
+            row0 = row1
 
 
 def decode_dataframe(blocks: DataFrame) -> DataFrame:
     """Encoded block rows -> (doc_id, tokens) rows."""
     cols = blocks.select("payload", "doc_ids", "doc_lens")
-    return cols.mapInPandas(_decode_iter, DECODED_SCHEMA_DDL)
+    return cols.mapInArrow(_decode_iter, DECODED_SCHEMA_DDL)
 
 
 def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -116,3 +116,48 @@ def test_bucket_skew_bounded(spark, tokens_df):
     limit = CFG.target_bucket_tokens + max_doc
     for r in sizes:
         assert r["t"] <= limit * 2, (r["source"], r["bucket"], r["t"])
+
+
+# ---------------------------------------------------------------------------
+# mapside (zero-shuffle) layout
+# ---------------------------------------------------------------------------
+
+MAPSIDE_CFG = EngineConfig(block_tokens=1 << 15, layout="mapside")
+
+
+def test_mapside_encode_decode_bit_identical(spark, tokens_df):
+    blocks = encode_dataframe(tokens_df, MAPSIDE_CFG).cache()
+    try:
+        assert blocks.count() > 0
+        decoded = decode_dataframe(blocks)
+        assert roundtrip_mismatch_count(tokens_df, decoded) == 0
+    finally:
+        blocks.unpersist()
+
+
+def test_mapside_matches_clustered_bytes(spark, tokens_df):
+    """Same data, same codecs -> mapside and clustered compress within
+    a few % of each other (block packing differs, content does not)."""
+    a = (encode_dataframe(tokens_df, MAPSIDE_CFG)
+         .agg(F.sum("comp_bytes")).collect()[0][0])
+    b = (encode_dataframe(tokens_df, CFG)
+         .agg(F.sum("comp_bytes")).collect()[0][0])
+    assert abs(a - b) / b < 0.10
+
+
+def test_mapside_block_ids_unique(spark, tokens_df):
+    blocks = encode_dataframe(tokens_df, MAPSIDE_CFG)
+    total = blocks.count()
+    assert blocks.select("block_id").distinct().count() == total
+
+
+def test_mapside_encode_table_and_decode(spark, tokens_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mapside_out"))
+    shutil.rmtree(out, ignore_errors=True)
+    s = encode_table(spark, tokens_df, out, MAPSIDE_CFG, resume=False)
+    assert s["ratio"] < 1.0
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(tokens_df, decoded) == 0
+    # resume over a mapside manifest must refuse, not corrupt
+    with pytest.raises(ValueError):
+        encode_table(spark, tokens_df, out, MAPSIDE_CFG, resume=True)
