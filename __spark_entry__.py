@@ -50,11 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": Q.q_minhash_signatures,
         "near_dup_buckets": Q.q_near_dup_buckets,
         "simhash": Q.q_simhash,                      # rows-only
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         # text analysis
         "quality_by_source": Q.q_quality_by_source,
         "langid_counts": Q.q_langid_counts,
+        "doc_fingerprint": Q.q_doc_fingerprint,
         # similarity
         "ann_topk": Q.q_ann_topk,
+        "cosine_near_dup": Q.q_cosine_near_dup,
         # classic OLAP sanity
         "pricing_summary": Q.q_pricing_summary,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -235,6 +238,37 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_signatures"] = f"""
       WITH {_SIG_CTE}
       SELECT doc_id, b0, b1, b2, b3 FROM sig ORDER BY doc_id"""
+
+    sql["ngram_jaccard_pairs"] = """
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE len(string_split(text, ' ')) >= 3),
+      shd AS (SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM ws, unnest(generate_series(1, len(w) - 2)) AS g(i)),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM shd a JOIN shd b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             CAST(FLOOR(100.0 * n_inter
+                        / (ca.n_sh + cb.n_sh - n_inter)) AS BIGINT)
+               AS jaccard_pct
+      FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE FLOOR(100.0 * n_inter / (ca.n_sh + cb.n_sh - n_inter)) >= 20
+      ORDER BY doc_a, doc_b"""
+
+    sql["doc_fingerprint"] = """
+      SELECT doc_id,
+             list_min(list_transform(generate_series(1,
+                 greatest(length(text) - 31, 1)),
+                 i -> md5(substr(text, i, 32)))) AS fingerprint
+      FROM documents ORDER BY doc_id"""
+
+    from rle_spark.similarity import cosine_near_dup_oracle_sql
+    sql["cosine_near_dup"] = cosine_near_dup_oracle_sql()
 
     sql["near_dup_buckets"] = f"""
       WITH {_SIG_CTE},

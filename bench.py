@@ -48,7 +48,8 @@ HEADLINE = [
     "run_stats_returnflag", "run_extract_orderstatus", "run_length_histogram",
     "column_codec_stats",
     "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
-    "near_dup_buckets", "quality_by_source", "langid_counts", "ann_topk",
+    "near_dup_buckets", "ngram_jaccard_pairs", "doc_fingerprint",
+    "quality_by_source", "langid_counts", "ann_topk", "cosine_near_dup",
     "pricing_summary", "revenue_by_nation", "token_runs_by_source",
 ]
 

@@ -105,6 +105,21 @@ def q_simhash(spark, sf_dir):  # rows-only check (xxhash64 not in DuckDB)
     return textops.simhash64(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return (textops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return (textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    return (similarity.cosine_near_dup(_t(spark, sf_dir, "embeddings"))
+            .orderBy("vec_a", "vec_b"))
+
+
 # --- text analysis -----------------------------------------------------
 
 

@@ -202,3 +202,58 @@ def token_count_stats(docs: DataFrame) -> DataFrame:
                  F.sum("n_chars").alias("total_chars"),
                  F.sum("n_punct").alias("total_punct"),
                  F.sum("n_stopwords_en").alias("total_stopwords_en")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup + rolling-hash fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, min_pct: int = 20,
+                        df_cap: int | None = None) -> DataFrame:
+    """Exact pairwise word-k-gram Jaccard via an inverted shingle index.
+
+    Candidate pairs = docs sharing at least one shingle (exact: any
+    pair with Jaccard > 0 shares one), produced by a self-join on the
+    shingle key — a hash-partition join whose cost tracks posting-list
+    sizes, not N^2. `df_cap` drops shingles occurring in more than
+    df_cap docs (stop-shingles): the standard scale knob that bounds
+    the worst posting list; Jaccard then becomes a documented
+    approximation. jaccard_pct is an integer percent
+    (floor(100*|A∩B| / |A∪B|)) so the SQL oracle compares exactly.
+    """
+    sh = shingles(docs, k).distinct()
+    if df_cap is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > df_cap).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a").join(sh.alias("b"), "shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.expr("CAST(FLOOR(100.0 * n_inter / "
+                           "(n_a + n_b - n_inter)) AS BIGINT)")
+                    .alias("jaccard_pct"))
+            .filter(F.col("jaccard_pct") >= F.lit(min_pct)))
+
+
+FINGERPRINT_WINDOW = 32
+
+
+def doc_fingerprint(docs: DataFrame, window: int = FINGERPRINT_WINDOW) -> DataFrame:
+    """Rolling-window content fingerprint per doc: the minimum of
+    md5 over every `window`-char substring (min-sampling of a rolling
+    hash, the winnowing-style construction). Identical/overlapping
+    content collides on the fingerprint regardless of position.
+    Pure codegen expression — no UDF, no shuffle beyond the scan."""
+    expr = (f"array_min(transform(sequence(1, greatest(length(text) - "
+            f"{window - 1}, 1)), i -> md5(substr(text, i, {window}))))")
+    return docs.select("doc_id", F.expr(expr).alias("fingerprint"))
