@@ -32,6 +32,11 @@ def parse_args(argv):
     p.add_argument("--target-bucket-tokens", type=int, default=8 << 20)
     p.add_argument("--effort", choices=["fast", "balanced", "max"],
                    default="balanced")
+    p.add_argument("--layout", choices=["clustered", "mapside"],
+                   default="clustered",
+                   help="clustered: shuffle to (source,bucket) partitions,"
+                        " resumable; mapside: zero-shuffle encode over the"
+                        " scan splits (source-clustered input)")
     p.add_argument("--codecs", default="",
                    help="comma-separated allow-list (default: all)")
     p.add_argument("--no-resume", action="store_true")
@@ -58,6 +63,7 @@ def main(argv=None):
     cfg = EngineConfig(
         block_tokens=args.block_tokens,
         target_bucket_tokens=args.target_bucket_tokens,
+        layout=args.layout,
         selector=SelectorConfig(
             effort=args.effort,
             allow=[c for c in args.codecs.split(",") if c]),
