@@ -145,14 +145,27 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
             summary = encode_table(spark, spark.read.parquet(src_path),
                                    out_dir, cfg, resume=False)
             job_walls.append(time.time() - t0)
+        # decode throughput over the written blocks (the reference
+        # reports decode alongside encode for every codec)
+        from rle_spark.engine import decode_dataframe, read_encoded
+        decode_walls = []
+        for i in range(stage_runs):
+            dec = decode_dataframe(
+                read_encoded(spark, out_dir).withColumn("_rep", F.lit(i)))
+            t0 = time.time()
+            dec.agg(F.sum(F.size("tokens"))).collect()
+            decode_walls.append(time.time() - t0)
         wall = min(stage_walls)
+        dwall = min(decode_walls)
         return {"cpus": cpus, "wall_sec": round(wall, 2),
                 "walls": [round(w, 2) for w in stage_walls],
                 "job_walls": [round(w, 2) for w in job_walls],
+                "decode_walls": [round(w, 2) for w in decode_walls],
                 "orig_bytes": orig,
                 "comp_bytes": comp,
                 "ratio": round(comp / orig, 4) if orig else 1.0,
-                "encode_GBps": round(orig / wall / 1e9, 3)}
+                "encode_GBps": round(orig / wall / 1e9, 3),
+                "decode_GBps": round(orig / dwall / 1e9, 3)}
     finally:
         spark.stop()
 
