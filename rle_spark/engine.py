@@ -423,24 +423,7 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         writer = writer.partitionBy("source", "bucket")
     writer.parquet(blocks_path)
 
-    # manifest from the committed files (ground truth, not the lazy plan)
-    on_disk = spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
-    per_codec = (on_disk.groupBy("source", "bucket", "codec")
-                 .agg(F.count("*").alias("n_blocks"),
-                      F.sum("n_docs").alias("n_docs"),
-                      F.sum("n_tokens").alias("n_tokens"),
-                      F.sum("orig_bytes").alias("orig_bytes"),
-                      F.sum("comp_bytes").alias("comp_bytes")))
-    manifest = (per_codec.groupBy("source", "bucket")
-                .agg(F.sum("n_blocks").alias("n_blocks"),
-                     F.sum("n_docs").alias("n_docs"),
-                     F.sum("n_tokens").alias("n_tokens"),
-                     F.sum("orig_bytes").alias("orig_bytes"),
-                     F.sum("comp_bytes").alias("comp_bytes"),
-                     F.map_from_entries(F.collect_list(F.struct(
-                         F.col("codec"), F.col("n_blocks")))).alias("codecs"),
-                     F.lit(__version__).alias("engine_version")))
-    manifest.write.mode("overwrite").parquet(manifest_path)
+    refresh_manifest(spark, out_dir)
 
     summary_row = (spark.read.parquet(manifest_path)
                    .agg(F.sum("orig_bytes").alias("orig"),
@@ -458,6 +441,31 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         "n_docs": int(summary_row["n_docs"] or 0),
         "skipped_partitions": int(skipped),
     }
+
+
+def refresh_manifest(spark: SparkSession, out_dir: str) -> None:
+    """(Re)build <out_dir>/manifest from the committed block files —
+    ground truth, not the lazy plan; also the recovery path after a
+    partially-failed or streaming-appended write."""
+    blocks_path = os.path.join(out_dir, "blocks")
+    manifest_path = os.path.join(out_dir, "manifest")
+    on_disk = spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
+    per_codec = (on_disk.groupBy("source", "bucket", "codec")
+                 .agg(F.count("*").alias("n_blocks"),
+                      F.sum("n_docs").alias("n_docs"),
+                      F.sum("n_tokens").alias("n_tokens"),
+                      F.sum("orig_bytes").alias("orig_bytes"),
+                      F.sum("comp_bytes").alias("comp_bytes")))
+    manifest = (per_codec.groupBy("source", "bucket")
+                .agg(F.sum("n_blocks").alias("n_blocks"),
+                     F.sum("n_docs").alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.sum("orig_bytes").alias("orig_bytes"),
+                     F.sum("comp_bytes").alias("comp_bytes"),
+                     F.map_from_entries(F.collect_list(F.struct(
+                         F.col("codec"), F.col("n_blocks")))).alias("codecs"),
+                     F.lit(__version__).alias("engine_version")))
+    manifest.write.mode("overwrite").parquet(manifest_path)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,82 @@
+"""Structured Streaming ingest: incremental encode of a growing token
+table.
+
+The reference is a batch library with no streaming surface
+(/root/reference/src/main.c — single whole-file read), so this module
+is the Spark-native extension for continuous training-data ingest:
+new parquet files landing under the input path are encoded per
+micro-batch with the SAME mapInArrow kernel the batch engine uses
+(engine._encode_iter_factory), appended to <out>/blocks, and the
+manifest is rebuilt from the committed files.
+
+Delivery semantics: the checkpoint gives each micro-batch a stable
+epoch id; block ids are prefixed with it, so a replayed epoch
+re-creates the same ids and a downstream reader (or a periodic
+compaction) can drop duplicates deterministically — at-least-once
+file delivery, exactly-once block identity. The manifest is always
+recomputed from what is actually on disk (engine.refresh_manifest),
+never incrementally guessed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .blocks import BLOCK_SCHEMA_DDL
+from .datagen import TOKEN_SCHEMA_DDL
+from .engine import EngineConfig, _encode_iter_factory, refresh_manifest
+
+
+def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
+                  cfg: EngineConfig | None = None,
+                  checkpoint: str | None = None,
+                  max_files_per_trigger: int = 8,
+                  available_now: bool = True):
+    """Start the incremental encode stream; returns the StreamingQuery.
+
+    With available_now=True the query drains everything currently in
+    `input_path` and stops (the batch-backfill mode); otherwise it
+    keeps running and encodes new files as they land.
+    """
+    cfg = cfg or EngineConfig(layout="mapside")
+    blocks_path = os.path.join(out_dir, "blocks")
+    checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+
+    src = (spark.readStream.schema(TOKEN_SCHEMA_DDL)
+           .option("maxFilesPerTrigger", str(max_files_per_trigger))
+           .parquet(input_path))
+
+    def _epoch(df: DataFrame, epoch_id: int) -> None:
+        blocks = df.mapInArrow(_encode_iter_factory(cfg, mapside=True),
+                               BLOCK_SCHEMA_DDL)
+        blocks = blocks.withColumn(
+            "block_id", F.concat(F.lit(f"e{epoch_id}:"), F.col("block_id")))
+        (blocks.write.mode("append")
+         .option("compression", cfg.parquet_codec)
+         .parquet(blocks_path))
+
+    writer = (src.writeStream.foreachBatch(_epoch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def encode_stream_backfill(spark: SparkSession, input_path: str,
+                           out_dir: str,
+                           cfg: EngineConfig | None = None) -> dict:
+    """Drain the input path now, wait for completion, rebuild the
+    manifest, and return the batch-style summary."""
+    q = encode_stream(spark, input_path, out_dir, cfg, available_now=True)
+    q.awaitTermination()
+    refresh_manifest(spark, out_dir)
+    row = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+           .agg(F.sum("orig_bytes").alias("o"), F.sum("comp_bytes").alias("c"),
+                F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d"))
+           .collect()[0])
+    orig, comp = int(row["o"] or 0), int(row["c"] or 0)
+    return {"orig_bytes": orig, "comp_bytes": comp,
+            "ratio": (comp / orig) if orig else 1.0,
+            "n_tokens": int(row["t"] or 0), "n_docs": int(row["d"] or 0)}
