@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": Q.q_dedup_exact,
         "minhash_signatures": Q.q_minhash_signatures,
         "near_dup_buckets": Q.q_near_dup_buckets,
-        "simhash": Q.q_simhash,                      # rows-only
+        "simhash": Q.q_simhash,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         # text analysis
         "quality_by_source": Q.q_quality_by_source,
@@ -259,6 +259,9 @@ def oracle_sql() -> dict[str, str]:
       JOIN counts cb ON cb.doc_id = doc_b
       WHERE FLOOR(100.0 * n_inter / (ca.n_sh + cb.n_sh - n_inter)) >= 20
       ORDER BY doc_a, doc_b"""
+
+    from rle_spark.textops import simhash_oracle_sql
+    sql["simhash"] = simhash_oracle_sql()
 
     sql["doc_fingerprint"] = """
       SELECT doc_id,

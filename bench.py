@@ -157,7 +157,16 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
             decode_walls.append(time.time() - t0)
         wall = min(stage_walls)
         dwall = min(decode_walls)
+        # entropy headroom (the reference's R*H/log2|S| analogue,
+        # src/main.c:1221-1244): what a downstream entropy coder still
+        # gains on our codec output = on-disk (zstd parquet) vs payload
+        disk_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(out_dir, "blocks"))
+            for f in fs)
         return {"cpus": cpus, "wall_sec": round(wall, 2),
+                "disk_bytes": disk_bytes,
+                "entropy_headroom": round(disk_bytes / comp, 3) if comp else 1.0,
                 "walls": [round(w, 2) for w in stage_walls],
                 "job_walls": [round(w, 2) for w in job_walls],
                 "decode_walls": [round(w, 2) for w in decode_walls],

@@ -101,7 +101,7 @@ def q_near_dup_buckets(spark, sf_dir):
             .orderBy("band", "band_hash"))
 
 
-def q_simhash(spark, sf_dir):  # rows-only check (xxhash64 not in DuckDB)
+def q_simhash(spark, sf_dir):
     return textops.simhash64(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 

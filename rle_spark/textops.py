@@ -119,30 +119,54 @@ def near_dup_buckets(docs: DataFrame, bands: int = 4, k: int = 3) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5: fits signed 64-bit in every engine
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over words: per-bit majority vote of word hashes.
+    """SimHash over words: per-bit majority vote of 60-bit word hashes.
 
-    Expressed with xxhash64 + bitwise aggregation per bit plane; used
-    for near-dup candidate keys at hamming-ball radius 0 (exact
-    simhash match) — SQL-oracle support omitted (non-trivial), covered
-    by pytest instead."""
+    The word hash is the top 15 hex chars of md5 (not xxhash64) so the
+    DuckDB oracle reproduces it exactly; 60 bits keeps every
+    intermediate in signed-BIGINT range on both engines. Used for
+    near-dup candidate keys at hamming-ball radius 0 (exact simhash
+    match)."""
     w = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
-    w = w.withColumn("h", F.xxhash64("w"))
-
-    def bitmask(b):
-        return F.shiftleft(F.lit(1).cast("long"), b)
+    w = w.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
 
     votes = [
-        F.sum(F.when(F.col("h").bitwiseAND(bitmask(b)) != 0, 1)
-              .otherwise(-1)).alias(f"v{b}")
-        for b in range(64)
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
     ]
     agg = w.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
+    for b in range(SIMHASH_BITS):
+        bit = (F.when(F.col(f"v{b}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), b))
+               .otherwise(F.lit(0).cast("long")))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_oracle_sql() -> str:
+    """DuckDB equivalent of simhash64 over the documents view."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS))
+    return f"""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      h AS (SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+      v AS (SELECT doc_id,
+        {votes}
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+      FROM v ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
