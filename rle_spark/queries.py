@@ -155,11 +155,15 @@ def q_pricing_summary(spark, sf_dir):
     qty = F.col("l_quantity").cast("decimal(12,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    # final cast to double: the sums stay decimal-exact, but both engines
+    # hand the driver the same float64 rendering (DuckDB's client
+    # converts DECIMAL results to float64, so a Decimal here would
+    # stringify differently despite equal values)
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-                 F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-                 F.sum(price * disc).cast("decimal(18,4)").alias("sum_disc_price"),
+            .agg(F.sum(qty).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+                 F.sum(price).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+                 F.sum(price * disc).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
@@ -172,7 +176,7 @@ def q_revenue_by_nation(spark, sf_dir):
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-                 .cast("decimal(18,2)").alias("revenue"),
+                 .cast("decimal(18,2)").cast("double").alias("revenue"),
                  F.count("*").alias("n_orders"))
             .orderBy("n_name"))
 
