@@ -30,7 +30,6 @@ import os
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 
 from . import memtune
 
@@ -39,7 +38,7 @@ memtune.apply()  # must precede JVM launch (workers inherit driver env)
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import __version__
-from .blocks import BLOCK_SCHEMA_DDL, DECODED_SCHEMA_DDL, decode_block, frame_payload, split_docs
+from .blocks import BLOCK_SCHEMA_DDL, DECODED_SCHEMA_DDL, decode_block, frame_payload
 from .selector import SelectorConfig, StickySelector
 
 
