@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": Q.q_doc_fingerprint,
         # similarity
         "ann_topk": Q.q_ann_topk,
+        "ivf_topk": Q.q_ivf_topk,
         "cosine_near_dup": Q.q_cosine_near_dup,
         # classic OLAP sanity
         "pricing_summary": Q.q_pricing_summary,
@@ -270,8 +271,12 @@ def oracle_sql() -> dict[str, str]:
                  i -> md5(substr(text, i, 32)))) AS fingerprint
       FROM documents ORDER BY doc_id"""
 
-    from rle_spark.similarity import cosine_near_dup_oracle_sql
+    from rle_spark.similarity import cosine_near_dup_oracle_sql, ivf_oracle_sql
     sql["cosine_near_dup"] = cosine_near_dup_oracle_sql()
+
+    # IVF quantizer + query vector are frozen from the sf0.01 training
+    # file on both sides; the query scans whichever sf is under test
+    sql["ivf_topk"] = ivf_oracle_sql()
 
     sql["near_dup_buckets"] = f"""
       WITH {_SIG_CTE},
@@ -320,12 +325,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ann_topk"] = """
       SELECT vec_id,
-             round(list_cosine_similarity(embedding,
-                   (SELECT embedding FROM embeddings WHERE vec_id = 0)), 3)
-               AS sim_r3
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)), 3) AS sim_r3
       FROM embeddings
-      ORDER BY list_cosine_similarity(embedding,
-               (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)) DESC,
                vec_id
       LIMIT 10"""
 

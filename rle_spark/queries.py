@@ -214,3 +214,7 @@ def q_roundtrip_matches(spark, sf_dir):
               .filter(F.col("t0").eqNullSafe(F.col("t1"))))
     return (joined.groupBy("source").agg(F.count("*").alias("n_docs_matched"))
             .orderBy("source"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk_frozen(_t(spark, sf_dir, "embeddings"))

@@ -101,7 +101,16 @@ def near_dup_plane_matrix(n_planes: int = NEAR_DUP_PLANES,
 
 
 def _sum_terms(terms: list[str]) -> str:
-    return "(" + " + ".join(terms) + ")"
+    """Balanced-tree sum: depth log2(n) instead of n, so Spark's
+    Janino codegen never recurses 64+ levels deep. Both engines get
+    the SAME tree from this one generator, so fp results stay
+    bit-identical across Spark and DuckDB."""
+    terms = list(terms)
+    while len(terms) > 1:
+        terms = [f"({terms[i]} + {terms[i + 1]})"
+                 if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return terms[0] if terms else "0.0"
 
 
 def dot_expr_sql(pa: str, pb: str, dim: int, base: int) -> str:
@@ -168,3 +177,177 @@ def cosine_near_dup_oracle_sql(min_pct: int = NEAR_DUP_MIN_PCT,
       FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
       WHERE {cos_sql} >= {min_pct}
       ORDER BY vec_a, vec_b"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_LISTS = 8
+IVF_ITERS = 5
+IVF_PROBES = 2
+
+
+def ivf_centroids(vecs: np.ndarray, n_lists: int = IVF_LISTS,
+                  iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: seeds = first n_lists
+    vectors (no RNG), fixed Lloyd iteration count, all float64, ties
+    broken by lowest centroid index (argmin). Both the Spark query and
+    the DuckDB oracle derive the SAME centroids from the same parquet,
+    so list assignment is reproducible. Rounded to 6 decimals so the
+    literals embedded in both engines' expressions parse identically."""
+    X = np.asarray(vecs, dtype=np.float64)
+    C = X[:n_lists].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C.round(6)
+
+
+def _l2_expr(prefix: str, centroid: np.ndarray, base: int) -> str:
+    """Squared L2 distance to a constant centroid, identical fold order
+    in both engines."""
+    terms = [
+        f"POWER(CAST({prefix}[{i + base}] AS DOUBLE) - {centroid[i]!r}, 2)"
+        for i in range(len(centroid))]
+    return _sum_terms(terms)
+
+
+def argmin_case_sql(names: list[str]) -> str:
+    """argmin over named columns; lowest index wins ties (j beats a
+    LOWER index only strictly, beats a HIGHER index on equality)."""
+    cases = []
+    for j, nj in enumerate(names):
+        conds = ([f"{nj} < {nk}" for nk in names[:j]]
+                 + [f"{nj} <= {nk}" for nk in names[j + 1:]])
+        if conds:
+            cases.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    return "(CASE " + " ".join(cases) + f" ELSE {len(names) - 1} END)"
+
+
+def ivf_assign(emb: DataFrame, C: np.ndarray,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Add the coarse list id. At scale this column is the write-time
+    partition key — probing touches only the matching parquet
+    partitions (the inverted file). Two-step projection: each distance
+    is computed once as a column, then a cheap argmin CASE — keeps the
+    codegen expression linear in n_lists."""
+    dist_cols = [F.expr(_l2_expr(vec_col, C[j], 0)).alias(f"_d{j}")
+                 for j in range(len(C))]
+    tmp = emb.select(F.col(id_col), F.col(vec_col), *dist_cols)
+    case = argmin_case_sql([f"_d{j}" for j in range(len(C))])
+    return tmp.select(F.col(id_col), F.col(vec_col),
+                      F.expr(case).alias("ivf_list"))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_lists: int = IVF_LISTS, probes: int = IVF_PROBES,
+             centroids: np.ndarray | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: exact cosine restricted to the `probes` nearest lists.
+
+    Work per query ~ probes/n_lists of the data, and with ivf_list as
+    a partition column the untouched lists are partition-pruned at the
+    scan. centroids must be precomputed (ivf_centroids) — at 100 TB
+    from a driver-side sample, here from the full (small) table."""
+    assert centroids is not None, "pass ivf_centroids(...)"
+    C = centroids
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(j) for j in np.argsort(d2, kind="stable")[:probes]]
+    assigned = ivf_assign(emb, C, vec_col, id_col)
+    cand = assigned.filter(F.col("ivf_list").isin(probe_lists))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# frozen quantizer training corpus: at 100 TB the IVF index is built
+# from a bounded driver-side sample once and applied everywhere — here
+# the sample is the sf0.01 embeddings table, shared by the Spark query
+# and the DuckDB oracle regardless of which sf the query scans
+IVF_TRAIN_PATH = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _ivf_train(train_path: str = IVF_TRAIN_PATH,
+               n_lists: int = IVF_LISTS, probes: int = IVF_PROBES):
+    """(centroids, query_vec rounded to literals, probe list ids) from
+    the frozen training parquet — identical on both engines."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(train_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    flat = t.column("embedding").combine_chunks()
+    X = np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in flat.to_pylist()])[order]
+    C = ivf_centroids(X, n_lists)
+    qv = X[int(np.flatnonzero(ids[order] == 0)[0])].round(6)
+    d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+    probe_lists = [int(j) for j in np.argsort(d2, kind="stable")[:probes]]
+    return C, qv, probe_lists
+
+
+def _lit_dot_expr(prefix: str, vec: np.ndarray, base: int) -> str:
+    return _sum_terms([
+        f"CAST({prefix}[{i + base}] AS DOUBLE) * {vec[i]!r}"
+        for i in range(len(vec))])
+
+
+def ivf_query_parts(base: int, train_path: str = IVF_TRAIN_PATH,
+                    n_lists: int = IVF_LISTS, probes: int = IVF_PROBES):
+    """All SQL fragments for the frozen-query IVF top-k, identical in
+    both engines: per-centroid distance exprs, argmin CASE, probe list
+    ids, and the exact-cosine expr vs the frozen query vector."""
+    C, qv, probe_lists = _ivf_train(train_path, n_lists, probes)
+    dists = [_l2_expr("embedding", C[j], base) for j in range(len(C))]
+    case = argmin_case_sql([f"_d{j}" for j in range(len(C))])
+    qnorm = float(np.sqrt((qv * qv).sum()))
+    cos = (f"({_lit_dot_expr('embedding', qv, base)} / "
+           f"(SQRT({dot_expr_sql('embedding', 'embedding', len(qv), base)})"
+           f" * {qnorm!r}))")
+    return dists, case, probe_lists, cos
+
+
+def ivf_topk_frozen(emb: DataFrame, k: int = 10,
+                    train_path: str = IVF_TRAIN_PATH,
+                    n_lists: int = IVF_LISTS,
+                    probes: int = IVF_PROBES) -> DataFrame:
+    """IVF top-k against the frozen query vector — the oracle-checked
+    query shape (see ivf_oracle_sql for the DuckDB twin)."""
+    dists, case, probe_lists, cos = ivf_query_parts(0, train_path,
+                                                    n_lists, probes)
+    tmp = emb.select(F.col("vec_id"), F.col("embedding"),
+                     *[F.expr(d).alias(f"_d{j}")
+                       for j, d in enumerate(dists)])
+    assigned = tmp.select("vec_id", "embedding",
+                          F.expr(case).alias("ivf_list"))
+    cand = assigned.filter(F.col("ivf_list").isin(probe_lists))
+    return (cand.select("vec_id", F.expr(cos).alias("_cos"))
+            .orderBy(F.col("_cos").desc(), F.col("vec_id"))
+            .limit(k)
+            .select("vec_id", F.round(F.col("_cos"), 3).alias("sim_r3")))
+
+
+def ivf_oracle_sql(train_path: str = IVF_TRAIN_PATH, k: int = 10,
+                   n_lists: int = IVF_LISTS, probes: int = IVF_PROBES) -> str:
+    """DuckDB twin of ivf_topk_frozen over the embeddings view: same
+    frozen centroids + query vector, same distance/argmin/cosine
+    expression trees."""
+    dists, case, probe_lists, cos = ivf_query_parts(1, train_path,
+                                                    n_lists, probes)
+    dist_cols = ",\n             ".join(
+        f"{d} AS _d{j}" for j, d in enumerate(dists))
+    probes_in = ", ".join(str(p) for p in probe_lists)
+    return f"""
+      WITH d AS (
+        SELECT vec_id, embedding,
+             {dist_cols}
+        FROM embeddings),
+      a AS (SELECT vec_id, embedding, {case} AS ivf_list FROM d),
+      c AS (SELECT vec_id, {cos} AS _cos FROM a
+            WHERE ivf_list IN ({probes_in}))
+      SELECT vec_id, round(_cos, 3) AS sim_r3
+      FROM c ORDER BY _cos DESC, vec_id LIMIT {k}"""
