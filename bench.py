@@ -31,7 +31,7 @@ memtune.apply()  # before any JVM launch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "32000"))
+BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "48000"))
 # N -> 4N parallelism pair for the scaling-efficiency criterion.
 # Default 1 -> 4: this sandbox VM's memory subsystem (first-touch
 # page faults + a single shared memory bus) degrades per-worker speed
@@ -94,7 +94,7 @@ def run_queries(spark) -> dict[str, float]:
 
 
 def encode_run(cpus: int, src_path: str, out_dir: str,
-               stage_runs: int = 2, job_runs: int = 1) -> dict:
+               stage_runs: int = 3, job_runs: int = 1) -> dict:
     """Encode measurements (mapside layout) at the given parallelism.
 
     Two quantities per leg:
@@ -125,6 +125,12 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
         spark.read.parquet(src_path).selectExpr("sum(n_tok)").collect()
         warm_python_workers(spark, cpus)
         cfg = EngineConfig(block_tokens=1 << 18, layout="mapside")
+        # full untimed dry encode (reference protocol src/main.c:808-811):
+        # first runs are consistently slowest (codegen/JIT + allocator
+        # warm-up in every worker) — measured 1.5-2x above steady state
+        (encode_dataframe(spark.read.parquet(src_path)
+                          .withColumn("_rep", F.lit(-1)), cfg)
+         .agg(F.sum("comp_bytes")).collect())
         stage_walls = []
         orig = comp = 0
         for i in range(stage_runs):
