@@ -161,3 +161,22 @@ def test_mapside_encode_table_and_decode(spark, tokens_df, tmp_path_factory):
     # resume over a mapside manifest must refuse, not corrupt
     with pytest.raises(ValueError):
         encode_table(spark, tokens_df, out, MAPSIDE_CFG, resume=True)
+
+
+@pytest.mark.parametrize("codec", ["rle128_byte", "mtf32_rle8", "fsst8",
+                                   "zlib_raw", "rle16_sym", "delta_bitpack"])
+def test_forced_codec_spark_roundtrip(spark, tokens_df, codec):
+    """Every codec family must survive the FULL Spark path (framing,
+    parquet, decode) — not only the ones the selector favors."""
+    from rle_spark.selector import SelectorConfig
+    cfg = EngineConfig(block_tokens=1 << 15, layout="mapside",
+                       selector=SelectorConfig(effort="max",
+                                               allow=[codec, "raw"]))
+    small = tokens_df.limit(40)
+    blocks = encode_dataframe(small, cfg).cache()
+    try:
+        used = {r["codec"] for r in blocks.select("codec").distinct().collect()}
+        assert used <= {codec, "raw"}
+        assert roundtrip_mismatch_count(small, decode_dataframe(blocks)) == 0
+    finally:
+        blocks.unpersist()
