@@ -218,7 +218,14 @@ def rle_stride_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
 
 
 def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
-    """Decode to a symbol array of the given integer dtype."""
+    """Decode to a symbol array of the given integer dtype.
+
+    Decode = ONE np.repeat: literals are runs of length 1, so the
+    interleaved (values, counts) streams are built with np.insert and
+    the whole buffer materializes in a single C repeat kernel — the
+    vectorized equivalent of the reference's memcpy/memset replay loop
+    (/root/reference/src/rleX_extreme_cpu_decode.h:27-164), ~2x faster
+    than a fancy-index scatter of the literal spans."""
     s = unpack_sections(buf)
     run_values = unpack_ints(s[0])
     run_lens = unpack_ints(s[1])
@@ -227,12 +234,14 @@ def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     if len(s) > 4 and len(s[4]) and s[4][0] == 1 and len(run_values) > 1:
         run_values = np.cumsum(run_values)
     k = len(run_lens)
-    seg = np.empty(2 * k + 1, dtype=np.int64)
-    seg[0::2] = lit_lens
-    seg[1::2] = run_lens
-    starts = np.cumsum(seg) - seg
-    n = int(seg.sum())
-    out = np.empty(n, dtype=np.int64)
-    scatter_segments(out, starts[0::2], lit_lens, lit_values)
-    fill_runs(out, starts[1::2], run_lens, run_values)
+    if k == 0:
+        out = lit_values
+    else:
+        # run i sits after literal span i: insertion point = cumulative
+        # literal length; after insertion it lands at ins_pos[i] + i
+        ins_pos = np.cumsum(lit_lens[:k])
+        values = np.insert(lit_values, ins_pos, run_values)
+        counts = np.ones(len(values), dtype=np.int64)
+        counts[ins_pos + np.arange(k)] = run_lens
+        out = np.repeat(values, counts)
     return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out
