@@ -67,8 +67,16 @@ def split_runs_literals(sym: np.ndarray, min_run: int = DEFAULT_MIN_RUN):
     lit_lens = (lit_ends - lit_starts).astype(np.int64)
     total_lit = int(lit_lens.sum())
     if total_lit:
-        pos = np.repeat(lit_starts, lit_lens) + inner_offsets(lit_lens)
-        lit_values = sym[pos]
+        # boolean-mask compress beats a fancy-index gather: one bool
+        # repeat (1 B/elem) + one C-kernel compress, no 8 B/elem
+        # position array
+        k = len(run_lens)
+        seg = np.empty(2 * k + 1, dtype=np.int64)
+        seg[0::2] = lit_lens
+        seg[1::2] = run_lens
+        flags = np.zeros(2 * k + 1, dtype=bool)
+        flags[0::2] = True
+        lit_values = sym[np.repeat(flags, seg)]
     else:
         lit_values = sym[:0]
     return run_starts, run_lens, run_values, lit_lens, lit_values
@@ -175,8 +183,12 @@ def rle_stride_encode_bytes(img: np.ndarray, stride: int,
     lit_ends = np.concatenate((iv_start, [n]))
     lit_lens = (lit_ends - lit_starts).astype(np.int64)
     if lit_lens.sum():
-        pos = np.repeat(lit_starts, lit_lens) + inner_offsets(lit_lens)
-        lit_bytes = img[pos]
+        seg = np.empty(2 * k + 1, dtype=np.int64)
+        seg[0::2] = lit_lens
+        seg[1::2] = iv_len
+        flags = np.zeros(2 * k + 1, dtype=bool)
+        flags[0::2] = True
+        lit_bytes = img[np.repeat(flags, seg)]
     else:
         lit_bytes = img[:0]
     if k:
