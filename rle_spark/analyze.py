@@ -1,33 +1,170 @@
 """Column analysis operators — the --analyze feature extractor
-(/root/reference/src/main.c:1246-2257) re-expressed two ways:
+(/root/reference/src/main.c:1246-2257) re-expressed scale-safe.
 
-  * `run_stats` / `run_extract`: pure window-function SQL (JVM-side,
-    scales to any column; the gaps-and-islands run-grouping idiom).
-  * `column_codec_stats` / `ref_rle8_size_v1`: the engine's NumPy
-    kernels (block_stats / refmodel) driven through mapInPandas with a
-    streaming accumulator — DuckDB SQL reproduces both independently,
-    which is the correctness oracle for the kernel implementations.
+Round-1 versions used `Window.orderBy(*order)` with no partitionBy
+(a single-partition global sort) and `repartition(1)` whole-column
+passes. This version follows the reference's own parallel layout —
+rle8m subsections + offset table (/root/reference/src/
+rle8_low_entropy_cpu.c:126-191): range-partition the rows on the order
+key so every task holds one contiguous sorted slice, run the NumPy run
+kernel per slice, then stitch the O(num_partitions) slice boundaries
+(offsets + runs that span a task edge) on the driver — the offset-table
+merge, never more than ~2 rows per task.
+
+Plan shape at any scale:
+  * one range shuffle of the analyzed columns (Exchange rangepartitioning)
+  * one mapInPandas pass per task (streamed Arrow batches, zero per-row
+    Python)
+  * driver control flow over O(P) rows only (P = shuffle partitions) —
+    the same budget as collecting a manifest summary.
+No single-partition Exchange appears anywhere over row-scale data.
 """
 
 from __future__ import annotations
 
+from typing import Iterable
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .codecs.base import bit_width, find_runs
-from .codecs.refmodel import ref_rle_size_model_v1
+
+_ELIG_MIN = 5   # min_short for sym_bytes=1: 1+1+1+2 (refmodel._min_short)
+_LONG_MIN = 11  # min_long  for sym_bytes=1: 1+1+4+4+1 (refmodel._min_long)
+
+
+def _as_comparable(a: np.ndarray) -> np.ndarray:
+    """Object (string) batches -> fixed-width unicode so run detection
+    stays a vectorized compare, not per-element Python."""
+    if a.dtype == object:
+        return np.asarray(a, dtype="U")
+    return a
+
+
+def _ranged(df: DataFrame, cols: list[str], order: list[str]) -> DataFrame:
+    """Range-shuffle rows on the order keys: each task gets a contiguous
+    sorted slice (the rle8m subsection analogue)."""
+    return (df.select(*dict.fromkeys([*order, *cols]))
+            .repartitionByRange(*[F.col(c) for c in order])
+            .sortWithinPartitions(*order)
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid", *cols))
+
+
+def partition_runs(df: DataFrame, col: str, order: list[str]) -> DataFrame:
+    """Distributed maximal-run extraction of `col` under the total order.
+
+    Returns a DataFrame (start_rn long [1-based], value, run_len long)
+    covering every row exactly once. Heavy work (one scan, run detection)
+    is fully distributed; the driver only resolves per-task row offsets
+    and merges runs that span task boundaries — at most 2 rows per task.
+
+    The intermediate run table is persisted (MEMORY_AND_DISK) because
+    the boundary collect and the downstream consumer must observe the
+    same range-partition boundaries.
+    """
+    vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+    out_schema = (f"pid int, local_start long, value {vtype}, "
+                  "run_len long, is_first boolean, is_last boolean, "
+                  "part_rows long")
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        carry_val = None
+        carry_start = 0  # local row index where the carry run begins
+        carry_len = 0
+        row0 = 0         # local row index of the next batch's first row
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            a = _as_comparable(pdf[col].to_numpy())
+            starts, lens = find_runs(a)
+            vals = a[starts]
+            emit_from = 0
+            out_start, out_val, out_len = [], [], []
+            if carry_len:
+                if vals[0] == carry_val:
+                    # batch boundary joins two runs: extend the carry
+                    if len(starts) == 1:
+                        carry_len += n
+                        row0 += n
+                        continue
+                    out_start.append(carry_start)
+                    out_val.append(carry_val)
+                    out_len.append(carry_len + int(lens[0]))
+                    emit_from = 1
+                else:
+                    out_start.append(carry_start)
+                    out_val.append(carry_val)
+                    out_len.append(carry_len)
+            # emit all complete runs of this batch; the last run becomes
+            # the new carry (it may continue into the next batch)
+            k = len(starts)
+            if k - 1 > emit_from:
+                out_start.extend((starts[emit_from:k - 1] + row0).tolist())
+                out_val.extend(vals[emit_from:k - 1].tolist())
+                out_len.extend(lens[emit_from:k - 1].tolist())
+            carry_start = row0 + int(starts[k - 1])
+            v = vals[k - 1]
+            carry_val = v.item() if hasattr(v, "item") else v
+            carry_len = int(lens[k - 1])
+            row0 += n
+            if out_start:
+                yield pd.DataFrame({
+                    "pid": pid, "local_start": out_start, "value": out_val,
+                    "run_len": out_len,
+                    "is_first": [s == 0 for s in out_start],
+                    "is_last": False, "part_rows": 0})
+        if carry_len:
+            yield pd.DataFrame({
+                "pid": [pid], "local_start": [carry_start],
+                "value": [carry_val], "run_len": [carry_len],
+                "is_first": [carry_start == 0], "is_last": [True],
+                "part_rows": [row0]})
+
+    runs_local = (arranged.mapInPandas(it, out_schema)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # --- driver-side O(P) control flow (the offset-table merge) ---
+    boundary = runs_local.filter(F.col("is_first") | F.col("is_last")).collect()
+    part_rows = {r.pid: r.part_rows for r in boundary if r.is_last}
+    offsets, acc = {}, 0
+    for pid in sorted(part_rows):
+        offsets[pid] = acc
+        acc += part_rows[pid]
+    merged: list[tuple[int, object, int]] = []
+    for r in sorted(boundary, key=lambda r: offsets[r.pid] + r.local_start):
+        s = offsets[r.pid] + r.local_start
+        if merged and merged[-1][0] + merged[-1][2] == s and merged[-1][1] == r.value:
+            merged[-1] = (merged[-1][0], merged[-1][1], merged[-1][2] + r.run_len)
+        else:
+            merged.append((s, r.value, r.run_len))
+
+    spark = df.sparkSession
+    run_schema = f"start_rn long, value {vtype}, run_len long"
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "pid int, row_offset long")
+    interior = (runs_local.filter(~F.col("is_first") & ~F.col("is_last"))
+                .join(F.broadcast(off_df), "pid")
+                .select((F.col("row_offset") + F.col("local_start") + 1)
+                        .alias("start_rn"),
+                        "value", "run_len"))
+    merged_df = spark.createDataFrame(
+        [(int(s) + 1, v, int(ln)) for s, v, ln in merged], run_schema)
+    return interior.unionByName(merged_df)
 
 
 def run_stats(df: DataFrame, col: str, order: list[str]) -> DataFrame:
     """Per-value run statistics of `col` under the given total order."""
-    w_all = Window.orderBy(*order)
-    w_val = Window.partitionBy(col).orderBy(*order)
-    runs = (df.select(F.col(col).alias("value"),
-                      (F.row_number().over(w_all)
-                       - F.row_number().over(w_val)).alias("grp"))
-            .groupBy("value", "grp").agg(F.count("*").alias("run_len")))
+    runs = partition_runs(df, col, order)
     return (runs.groupBy("value")
             .agg(F.count("*").alias("n_runs"),
                  F.sum("run_len").alias("total_len"),
@@ -38,28 +175,16 @@ def run_stats(df: DataFrame, col: str, order: list[str]) -> DataFrame:
 def run_extract(df: DataFrame, col: str, order: list[str]) -> DataFrame:
     """Materialized run list (start_rn, value, run_len) — the decoded
     form of an RLE stream, SQL-checkable."""
-    w_all = Window.orderBy(*order)
-    w_val = Window.partitionBy(col).orderBy(*order)
-    runs = (df.select(F.col(col).alias("value"),
-                      F.row_number().over(w_all).alias("rn"),
-                      (F.row_number().over(w_all)
-                       - F.row_number().over(w_val)).alias("grp"))
-            .groupBy("value", "grp")
-            .agg(F.min("rn").cast("long").alias("start_rn"),
-                 F.count("*").alias("run_len")))
-    return runs.select("start_rn", "value", "run_len").orderBy("start_rn")
+    return (partition_runs(df, col, order)
+            .select("start_rn", "value", "run_len")
+            .orderBy("start_rn"))
 
 
 def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame:
     """Run lengths bucketed by bit class (floor(log2(len))) — the
     AnalyzeData run-length histogram (/root/reference/src/main.c:1246+,
-    'run lengths by bit-class'), as a window+agg plan."""
-    w_all = Window.orderBy(*order)
-    w_val = Window.partitionBy(col).orderBy(*order)
-    runs = (df.select(F.col(col).alias("value"),
-                      (F.row_number().over(w_all)
-                       - F.row_number().over(w_val)).alias("grp"))
-            .groupBy("value", "grp").agg(F.count("*").alias("run_len")))
+    'run lengths by bit-class')."""
+    runs = partition_runs(df, col, order)
     bit_class = (F.length(F.bin(F.col("run_len"))) - 1).alias("bit_class")
     return (runs.select(bit_class)
             .groupBy("bit_class")
@@ -67,74 +192,170 @@ def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame
             .orderBy("bit_class"))
 
 
-def column_codec_stats(df: DataFrame, cols: list[str],
-                       order: list[str]) -> DataFrame:
-    """Whole-column codec stats (n, min, max, distinct, runs) computed
-    by the engine's vectorized kernels with a cross-batch accumulator.
+def _run_summary(df: DataFrame, cols: list[str],
+                 order: list[str]) -> DataFrame:
+    """Per-(partition, column) run summary: local run count plus the
+    first/last value, enough to stitch global run counts on the driver."""
+    arranged = _ranged(df, cols, order)
+    schema = ("pid int, col_name string, n_runs long, "
+              "first_val long, last_val long")
 
-    The total order is enforced by a single-partition sort: this is the
-    oracle-checkable whole-column variant; production stats are
-    per-block and merged (selector.block_stats)."""
-    arranged = (df.select(*dict.fromkeys([*order, *cols]))
-                .repartition(1).sortWithinPartitions(*order))
-
-    def it(batches):
-        acc = {c: {"n": 0, "vmin": None, "vmax": None, "n_runs": 0,
-                   "last": None, "uniq": set()} for c in cols}
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        acc = {c: {"n_runs": 0, "first": None, "last": None} for c in cols}
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
             for c in cols:
                 a = pdf[c].to_numpy()
-                if len(a) == 0:
-                    continue
                 st = acc[c]
-                st["n"] += len(a)
-                mn, mx = a.min(), a.max()
-                st["vmin"] = mn if st["vmin"] is None else min(st["vmin"], mn)
-                st["vmax"] = mx if st["vmax"] is None else max(st["vmax"], mx)
                 _, lens = find_runs(a)
                 st["n_runs"] += len(lens)
-                if st["last"] is not None and len(a) and a[0] == st["last"]:
+                if st["last"] is not None and a[0] == st["last"]:
                     st["n_runs"] -= 1  # batch boundary joins two runs
-                st["last"] = a[-1]
-                st["uniq"].update(np.unique(a).tolist())
-        yield pd.DataFrame({
-            "col_name": cols,
-            "n_values": [acc[c]["n"] for c in cols],
-            "vmin": [int(acc[c]["vmin"]) for c in cols],
-            "vmax": [int(acc[c]["vmax"]) for c in cols],
-            "n_distinct": [len(acc[c]["uniq"]) for c in cols],
-            "n_runs": [acc[c]["n_runs"] for c in cols],
-        })
+                if st["first"] is None:
+                    st["first"] = int(a[0])
+                st["last"] = int(a[-1])
+        if pid >= 0:
+            yield pd.DataFrame({
+                "pid": pid, "col_name": cols,
+                "n_runs": [acc[c]["n_runs"] for c in cols],
+                "first_val": [acc[c]["first"] for c in cols],
+                "last_val": [acc[c]["last"] for c in cols]})
 
-    schema = ("col_name string, n_values long, vmin long, vmax long, "
-              "n_distinct long, n_runs long")
     return arranged.mapInPandas(it, schema)
+
+
+def column_codec_stats(df: DataFrame, cols: list[str],
+                       order: list[str]) -> DataFrame:
+    """Whole-column codec stats (n, min, max, distinct, runs).
+
+    n/min/max/distinct run as one distributed Spark aggregate (exact
+    count-distinct is Spark's two-phase expand — no driver-side set, no
+    unbounded task memory). Run counts come from the range-partitioned
+    kernel summary; the driver stitches the O(P·C) summary rows
+    (subtracting one run wherever a value continues across a task edge).
+    """
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.min(F.col(c)).cast("long").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("long").alias(f"{c}__max"),
+            F.countDistinct(F.col(c)).alias(f"{c}__k"),
+        ]
+    stats_row = df.agg(*agg_exprs).collect()[0]
+
+    summary = sorted(_run_summary(df, cols, order).collect(),
+                     key=lambda r: r.pid)
+    n_runs = {c: 0 for c in cols}
+    last_val: dict[str, object] = {}
+    for r in summary:
+        n_runs[r.col_name] += r.n_runs
+        if r.col_name in last_val and last_val[r.col_name] == r.first_val:
+            n_runs[r.col_name] -= 1  # run spans a partition boundary
+        last_val[r.col_name] = r.last_val
+
+    rows = [(c, int(stats_row[f"{c}__n"]), int(stats_row[f"{c}__min"]),
+             int(stats_row[f"{c}__max"]), int(stats_row[f"{c}__k"]),
+             int(n_runs[c])) for c in cols]
+    return df.sparkSession.createDataFrame(
+        rows, "col_name string, n_values long, vmin long, vmax long, "
+              "n_distinct long, n_runs long")
+
+
+def _ref_model_size(runs: DataFrame, n_total: int) -> int:
+    """Reference width-8 RLE size (model v1) from a global run list.
+
+    Semantics identical to codecs.refmodel.ref_rle_size_model_v1 for
+    sym_bytes=1: eligible runs (len >= 5) measure their copy gap to the
+    END of the previous eligible run; emitted iff gap+1 <= 255 or
+    len >= 11. The gap needs each eligible run's predecessor, so the
+    candidate list is range-partitioned on position, the lag computed
+    per task, and only each task's FIRST candidate (O(P) rows) resolved
+    on the driver against the preceding task's last candidate end.
+    """
+    cand = (runs.filter(F.col("run_len") >= _ELIG_MIN)
+            .select((F.col("start_rn") - 1).alias("s0"), "run_len")
+            .repartitionByRange(F.col("s0"))
+            .sortWithinPartitions("s0")
+            .withColumn("pid", F.spark_partition_id()))
+
+    def contribution(lens: np.ndarray, rng: np.ndarray) -> tuple[int, int]:
+        stored = lens - (_ELIG_MIN - 1)
+        count_b = np.where(stored <= 255, 1, 5)
+        short_ok = rng <= 255
+        emitted = short_ok | (lens >= _LONG_MIN)
+        cmd = 1 + count_b + np.where(short_ok, 1, 5)
+        return int(cmd[emitted].sum()), int(lens[emitted].sum())
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        first: tuple[int, int] | None = None
+        prev_end: int | None = None
+        cmd_sum = len_sum = 0
+        last_end = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            s0 = pdf["s0"].to_numpy(np.int64)
+            lens = pdf["run_len"].to_numpy(np.int64)
+            ends = s0 + lens
+            if prev_end is None:
+                first = (int(s0[0]), int(lens[0]))
+                prev = np.concatenate(([np.int64(ends[0])], ends[:-1]))
+                # first candidate excluded from local sums (rng unknown)
+                c, l = contribution(lens[1:], s0[1:] - prev[1:] + 1)
+            else:
+                prev = np.concatenate(([np.int64(prev_end)], ends[:-1]))
+                c, l = contribution(lens, s0 - prev + 1)
+            cmd_sum += c
+            len_sum += l
+            prev_end = int(ends[-1])
+            last_end = prev_end
+        if pid >= 0:
+            yield pd.DataFrame({
+                "pid": [pid], "cmd_sum": [cmd_sum], "len_sum": [len_sum],
+                "first_s0": [first[0] if first else -1],
+                "first_len": [first[1] if first else -1],
+                "last_end": [last_end]})
+
+    parts = sorted(cand.mapInPandas(
+        it, "pid int, cmd_sum long, len_sum long, first_s0 long, "
+            "first_len long, last_end long").collect(), key=lambda r: r.pid)
+
+    cmd_total = len_total = 0
+    chain_end = 0  # end of the last candidate seen so far, across tasks
+    for r in parts:
+        cmd_total += r.cmd_sum
+        len_total += r.len_sum
+        if r.first_s0 >= 0:
+            lens = np.array([r.first_len], dtype=np.int64)
+            rng = np.array([r.first_s0 - chain_end + 1], dtype=np.int64)
+            c, l = contribution(lens, rng)
+            cmd_total += c
+            len_total += l
+        chain_end = r.last_end
+    return 8 + cmd_total + (n_total - len_total) + 1 + 10
 
 
 def ref_rle8_size_v1(df: DataFrame, cols: list[str],
                      order: list[str]) -> DataFrame:
     """Reference width-8 RLE size (model v1) of each single-char string
-    column's byte stream, computed by the NumPy yardstick
-    (codecs.refmodel.ref_rle_size_model_v1)."""
-    arranged = (df.select(*dict.fromkeys([*order, *cols]))
-                .repartition(1).sortWithinPartitions(*order))
-
-    def it(batches):
-        parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
-        for pdf in batches:
-            for c in cols:
-                chars = pdf[c].astype(str).str.encode("ascii")
-                parts[c].append(np.frombuffer(b"".join(chars), dtype=np.uint8))
-        yield pd.DataFrame({
-            "col_name": cols,
-            "model_bytes": [
-                int(ref_rle_size_model_v1(
-                    np.concatenate(parts[c]) if parts[c] else
-                    np.zeros(0, np.uint8), 1))
-                for c in cols],
-        })
-
-    return arranged.mapInPandas(it, "col_name string, model_bytes long")
+    column's byte stream (codecs.refmodel.ref_rle_size_model_v1),
+    computed from the distributed run list."""
+    out = []
+    for c in cols:
+        runs = partition_runs(df, c, order)
+        n_total = runs.agg(F.sum("run_len")).collect()[0][0] or 0
+        out.append((c, int(_ref_model_size(runs, int(n_total)))
+                    if n_total else 8))
+    return df.sparkSession.createDataFrame(
+        out, "col_name string, model_bytes long")
 
 
 # estimate formulas shared with the SQL oracle (q_codec_selection):

@@ -124,8 +124,10 @@ def signature_expr_sql(prefix: str, planes: np.ndarray, base: int) -> str:
     """Packed sign-bit hyperplane signature as a SQL expression."""
     bits = []
     for j, plane in enumerate(planes):
+        # float() before !r: repr(np.float64) under NumPy >= 2.0 is
+        # 'np.float64(x)' — unparseable SQL; plain float reprs are stable
         dot = _sum_terms([
-            f"CAST({prefix}[{i + base}] AS DOUBLE) * {plane[i]!r}"
+            f"CAST({prefix}[{i + base}] AS DOUBLE) * {float(plane[i])!r}"
             for i in range(len(plane))])
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
     return _sum_terms(bits)
@@ -137,16 +139,24 @@ def cos_pct_expr_sql(pa: str, pb: str, dim: int, base: int) -> str:
             f"SQRT({dot_expr_sql(pb, pb, dim, base)}))) AS BIGINT)")
 
 
-def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
-                    n_planes: int = NEAR_DUP_PLANES,
-                    seed: int = NEAR_DUP_SEED, dim: int = NEAR_DUP_DIM,
-                    vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
-    """Near-duplicate embedding pairs: same LSH bucket AND exact cosine
-    >= min_pct/100. Candidate generation is a hash join on the bucket
-    key (work ~ sum of squared bucket sizes, not N^2); the exact
-    cosine runs only on candidates. Multiple tables (seeds) raise
-    recall the standard way; one table is the benchmark shape."""
+def auto_n_planes(n_rows: int, target_bucket: int = 256,
+                  min_planes: int = NEAR_DUP_PLANES,
+                  max_planes: int = 30) -> int:
+    """Scale the hyperplane count with corpus size so the EXPECTED
+    bucket holds ~target_bucket vectors (2^planes buckets): candidate
+    pairs stay ~N*target_bucket instead of drifting toward all-pairs
+    when N grows past 2^planes. Round-1 shipped a fixed 2^6 buckets —
+    near-all-pairs at 100 TB (VERDICT.md 'What's wrong' #5)."""
+    import math
+    if n_rows <= target_bucket:
+        return min_planes
+    return max(min_planes,
+               min(max_planes, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _near_dup_pairs_one_table(emb: DataFrame, min_pct: int, n_planes: int,
+                              seed: int, dim: int, vec_col: str,
+                              id_col: str) -> DataFrame:
     planes = near_dup_plane_matrix(n_planes, dim, seed)
     sig = emb.select(F.col(id_col).alias("vec_id"),
                      F.col(vec_col).alias("embedding"),
@@ -160,6 +170,37 @@ def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
                      F.expr(cos_pct_expr_sql("a.embedding", "b.embedding",
                                              dim, 0)).alias("cos_pct")))
     return pairs.filter(F.col("cos_pct") >= min_pct)
+
+
+def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
+                    n_planes: int | None = NEAR_DUP_PLANES,
+                    seed: int = NEAR_DUP_SEED, dim: int = NEAR_DUP_DIM,
+                    n_tables: int = 1,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate embedding pairs: same LSH bucket AND exact cosine
+    >= min_pct/100. Candidate generation is a hash join on the bucket
+    key (work ~ sum of squared bucket sizes, not N^2); the exact
+    cosine runs only on candidates.
+
+    n_planes=None sizes the bucket grid from the corpus (auto_n_planes)
+    so candidate volume stays linear at scale; the explicit value is
+    the oracle-checked benchmark shape. n_tables > 1 unions independent
+    plane sets (seed, seed+1, ...) and dedups pairs — the standard
+    recall lever for high-plane-count grids."""
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
+    tables = [_near_dup_pairs_one_table(emb, min_pct, n_planes, seed + t,
+                                        dim, vec_col, id_col)
+              for t in range(n_tables)]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    if n_tables > 1:
+        # same true pair can surface from several tables with the same
+        # exact cos_pct — dedup on the pair key alone
+        out = out.dropDuplicates(["vec_a", "vec_b"])
+    return out
 
 
 def cosine_near_dup_oracle_sql(min_pct: int = NEAR_DUP_MIN_PCT,
@@ -212,7 +253,7 @@ def _l2_expr(prefix: str, centroid: np.ndarray, base: int) -> str:
     """Squared L2 distance to a constant centroid, identical fold order
     in both engines."""
     terms = [
-        f"POWER(CAST({prefix}[{i + base}] AS DOUBLE) - {centroid[i]!r}, 2)"
+        f"POWER(CAST({prefix}[{i + base}] AS DOUBLE) - {float(centroid[i])!r}, 2)"
         for i in range(len(centroid))]
     return _sum_terms(terms)
 
@@ -292,7 +333,7 @@ def _ivf_train(train_path: str = IVF_TRAIN_PATH,
 
 def _lit_dot_expr(prefix: str, vec: np.ndarray, base: int) -> str:
     return _sum_terms([
-        f"CAST({prefix}[{i + base}] AS DOUBLE) * {vec[i]!r}"
+        f"CAST({prefix}[{i + base}] AS DOUBLE) * {float(vec[i])!r}"
         for i in range(len(vec))])
 
 
