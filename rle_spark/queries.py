@@ -217,4 +217,6 @@ def q_roundtrip_matches(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk_frozen(_t(spark, sf_dir, "embeddings"))
+    # inverted-file path: one-time write partitioned by ivf_list, then a
+    # partition-pruned probe (identical values to ivf_topk_frozen)
+    return similarity.ivf_topk_via_index(spark, sf_dir)
