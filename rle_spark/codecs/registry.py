@@ -36,8 +36,14 @@ from .entropy import (
     zlib_raw_encode,
 )
 from .fsst import fsst_decode_bytes, fsst_encode_bytes
+from .low_entropy import low_entropy_decode_bytes, low_entropy_encode_bytes
 from .lut import lut_decode_symbols, lut_encode_symbols
-from .mtf import mtf_decode_bytes, mtf_encode_bytes
+from .mtf import (
+    bitmmtf_decode_bytes,
+    bitmmtf_encode_bytes,
+    mtf_decode_bytes,
+    mtf_encode_bytes,
+)
 from .rle import (
     rle_decode_multi,
     rle_decode_symbols,
@@ -208,6 +214,66 @@ def _rle32_lut_decode(buf, n):
     return lut_decode_symbols(buf, TOKEN_DTYPE)
 
 
+def _bitmmtf_rle_encode(stride):
+    def enc(arr):
+        img = tokens_to_bytes(_as_tokens(arr))
+        t = bitmmtf_encode_bytes(img, stride)
+        return rle_encode_symbols(t)
+    return enc
+
+
+def _bitmmtf_rle_decode(stride):
+    def dec(buf, n):
+        t = rle_decode_symbols(buf, np.uint8)[: n * 4]
+        img = bitmmtf_decode_bytes(t, stride)
+        return img.view(TOKEN_DTYPE).copy()
+    return dec
+
+
+def _img_components(img: np.ndarray, comp_bytes: int, n_comp: int):
+    """Pad a byte image to a multiple of comp_bytes*n_comp and view it
+    as n_comp parallel component columns (one composite symbol per
+    row) — the 24/48-bit sym-aligned instantiation
+    (/root/reference/src/rle24_extreme_cpu.c:1-28,
+    src/rle48_extreme_cpu.c:1-27): 24-bit = 3 u8 lanes, 48-bit = 3 u16
+    lanes, run boundaries on whole symbols only."""
+    step = comp_bytes * n_comp
+    pad = (-len(img)) % step
+    if pad:
+        img = np.concatenate([img, np.zeros(pad, dtype=np.uint8)])
+    m = img.view(np.dtype(f"<u{comp_bytes}")).reshape(-1, n_comp)
+    return [np.ascontiguousarray(m[:, c]) for c in range(n_comp)]
+
+
+def _rle_sym_wide_encode(comp_bytes, n_comp):
+    def enc(arr):
+        img = tokens_to_bytes(_as_tokens(arr))
+        return rle_encode_multi(_img_components(img, comp_bytes, n_comp))
+    return enc
+
+
+def _rle_sym_wide_decode(comp_bytes, n_comp):
+    dt = np.dtype(f"<u{comp_bytes}")
+
+    def dec(buf, n):
+        comps = rle_decode_multi(buf, n_comp, dt)
+        m = np.empty((len(comps[0]), n_comp), dtype=dt)
+        for c in range(n_comp):
+            m[:, c] = comps[c]
+        return m.reshape(-1).view(np.uint8)[: n * 4].view(TOKEN_DTYPE).copy()
+    return dec
+
+
+def _rle8_le_encode(arr):
+    img = tokens_to_bytes(_as_tokens(arr))
+    return compose_zlib(low_entropy_encode_bytes(img))
+
+
+def _rle8_le_decode(buf, n):
+    img = low_entropy_decode_bytes(decompose_zlib(bytes(buf)))
+    return img[: n * 4].view(TOKEN_DTYPE).copy()
+
+
 def _rle8_lz_encode(arr):
     img = tokens_to_bytes(_as_tokens(arr))
     sym, _ = byte_image_symbols(img, 8)
@@ -308,6 +374,18 @@ _register(19, "rle32_byte", _stride_encode(4), _stride_decode(4), lambda st: Non
 _register(20, "rle48_byte", _stride_encode(6), _stride_decode(6), lambda st: None)
 _register(21, "rle64_byte", _stride_encode(8), _stride_decode(8), lambda st: None)
 _register(22, "rle128_byte", _stride_encode(16), _stride_decode(16), lambda st: None)
+# bit-plane MMTF (F9 bitmmtf8/16): XOR-vs-previous transform + RLE
+_register(23, "bitmmtf8_rle", _bitmmtf_rle_encode(1), _bitmmtf_rle_decode(1),
+          lambda st: None)
+_register(24, "bitmmtf16_rle", _bitmmtf_rle_encode(2), _bitmmtf_rle_decode(2),
+          lambda st: None)
+# 24/48-bit SYM-aligned widths (byte-aligned strides 3/6 are ids 18/20)
+_register(25, "rle24_sym", _rle_sym_wide_encode(1, 3), _rle_sym_wide_decode(1, 3),
+          lambda st: None)
+_register(26, "rle48_sym", _rle_sym_wide_encode(2, 3), _rle_sym_wide_decode(2, 3),
+          lambda st: None)
+# true Low Entropy: eligibility bitmap + count-byte stream, then zlib
+_register(27, "rle8_le", _rle8_le_encode, _rle8_le_decode, lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -318,8 +396,10 @@ PROBE_CODECS = ["rle64_sym", "rle128_sym", "rle8", "rle16_sym",
 # (the reference's greedy-encoder tier, README.md:251-254); zlib-backed
 # entries are the Low Entropy (F7) analogues
 MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
-                     "rle32_lut", "rle16_byte", "rle24_byte", "rle48_byte",
-                     "rle64_byte", "rle128_byte"]
+                     "rle8_le", "rle32_lut", "rle16_byte", "rle24_byte",
+                     "rle48_byte", "rle64_byte", "rle128_byte",
+                     "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
+                     "rle48_sym"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

@@ -120,7 +120,14 @@ def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
         if best_est_ratio > 0.5 or run_frac < (1 - cfg.probe_run_frac):
             trial += [c for c in PROBE_CODECS if c in allowed and c not in trial]
     if cfg.effort == "max":
-        trial += [c for c in MAX_EFFORT_CODECS if c in allowed and c not in trial]
+        extra = [c for c in MAX_EFFORT_CODECS if c in allowed and c not in trial]
+        if st["n_runs"] / max(n, 1) > 0.5 and n > 4096:
+            # lane-MTF's Python loop visits every change step; its
+            # run-skip fast path only pays on run-heavy blocks, so
+            # time-bound the trial: skip MTF when runs are scarce
+            # (mean run < 2 tokens) and the block is big
+            extra = [c for c in extra if not c.startswith("mtf")]
+        trial += extra
         trial += [name for _, name in ests[cfg.trial_top:]]
 
     best_size = raw_size

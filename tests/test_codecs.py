@@ -148,3 +148,109 @@ def test_engine_beats_reference_rle_size(seed, sym_bytes):
     ref = ref_rle_size_exact(img, sym_bytes)
     _, payload, _ = select_and_encode(arr)
     assert len(payload) + 15 <= ref + 16  # +15 frame, ref has 8B header
+
+
+# ---------------------------------------------------------------------------
+# bit-plane MMTF (bitmmtf8/16) + lane-MTF run-skip
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 17, 1001])
+def test_bitmmtf_matches_naive_xor(stride, n):
+    """Semantics check vs the reference transform written out naively:
+    out[i] = in[i] ^ in[i-stride] over the stride-aligned prefix, tail
+    verbatim (/root/reference/src/bit_mmtf.c:18-60)."""
+    from rle_spark.codecs.mtf import bitmmtf_decode_bytes, bitmmtf_encode_bytes
+    rng = np.random.default_rng(stride * 100 + n)
+    a = rng.integers(0, 256, n).astype(np.uint8)
+    enc = bitmmtf_encode_bytes(a, stride)
+    cut = (n // stride) * stride
+    ref = a.copy()
+    for i in range(stride, cut):
+        ref[i] = a[i] ^ a[i - stride]
+    np.testing.assert_array_equal(enc, ref)
+    np.testing.assert_array_equal(bitmmtf_decode_bytes(enc, stride), a)
+
+
+def test_bitmmtf_zeroes_runs():
+    # a run of any byte becomes 0x00 after the transform -> RLE-ready
+    from rle_spark.codecs.mtf import bitmmtf_encode_bytes
+    img = np.full(1000, 0xA7, dtype=np.uint8)
+    enc = bitmmtf_encode_bytes(img, 1)
+    assert enc[0] == 0xA7 and not enc[1:].any()
+
+
+@pytest.mark.parametrize("lanes", [16, 32])
+def test_mtf_run_skip_matches_naive(lanes):
+    """The run-skip fast path must be bit-identical to a per-step naive
+    MTF (independent per lane)."""
+    rng = np.random.default_rng(lanes)
+    img = np.repeat(rng.integers(0, 256, 300).astype(np.uint8),
+                    rng.integers(1, 200, 300))[:20_000]
+    enc = mtf_encode_bytes(img, lanes)
+    # naive per-lane MTF
+    steps = len(img) // lanes
+    body = img[: steps * lanes].reshape(steps, lanes)
+    want = np.empty_like(body)
+    for lane in range(lanes):
+        lst = list(range(256))
+        for t in range(steps):
+            s = int(body[t, lane])
+            r = lst.index(s)
+            want[t, lane] = r
+            lst.pop(r)
+            lst.insert(0, s)
+    np.testing.assert_array_equal(enc[: steps * lanes].reshape(steps, lanes),
+                                  want)
+    np.testing.assert_array_equal(mtf_decode_bytes(enc, lanes), img)
+
+
+# ---------------------------------------------------------------------------
+# true Low Entropy (eligibility bitmap + count stream)
+# ---------------------------------------------------------------------------
+
+
+def test_low_entropy_eligibility_heuristic():
+    """avg run length >= 2 gates the bitmap, mirroring
+    /root/reference/src/rle8_low_entropy_cpu.c:298-302."""
+    from rle_spark.codecs.low_entropy import (low_entropy_eligibility,
+                                              low_entropy_encode_bytes)
+    from rle_spark.codecs.base import find_runs, unpack_sections
+    # symbol 7: two runs of total len 5 (avg 2.5) -> eligible
+    # symbol 3: three isolated singles (avg 1.0) -> NOT eligible
+    img = np.array([7, 7, 7, 3, 7, 7, 3, 9, 3], dtype=np.uint8)
+    starts, lens = find_runs(img)
+    elig = low_entropy_eligibility(img[starts], lens)
+    assert elig[7] and not elig[3] and not elig[9]
+    s = unpack_sections(low_entropy_encode_bytes(img))
+    data = np.frombuffer(s[1], dtype=np.uint8)
+    counts = np.frombuffer(s[2], dtype=np.uint8)
+    # two eligible-run segments (7x3, 7x2); literals kept verbatim
+    assert list(counts) == [2, 1]
+    assert list(data) == [7, 3, 7, 3, 9, 3]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_low_entropy_long_run_split(seed):
+    from rle_spark.codecs.low_entropy import (low_entropy_decode_bytes,
+                                              low_entropy_encode_bytes)
+    rng = np.random.default_rng(seed)
+    # runs straddling the 256-per-count-byte boundary
+    img = np.repeat(rng.integers(0, 4, 50).astype(np.uint8),
+                    rng.integers(250, 600, 50))
+    out = low_entropy_decode_bytes(low_entropy_encode_bytes(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_low_entropy_beats_plain_zlib_on_runny_bytes():
+    """The headroom claim: pre-transforming runs into (sym, count)
+    streams must beat zlib over the raw image on run-heavy data."""
+    import zlib
+    from rle_spark.codecs.low_entropy import low_entropy_encode_bytes
+    rng = np.random.default_rng(11)
+    img = np.repeat(rng.integers(0, 64, 3000).astype(np.uint8),
+                    rng.integers(2, 40, 3000))
+    le = len(zlib.compress(low_entropy_encode_bytes(img), 6))
+    plain = len(zlib.compress(img.tobytes(), 6))
+    assert le < plain
