@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.q_ann_topk,
         "ivf_topk": Q.q_ivf_topk,
         "cosine_near_dup": Q.q_cosine_near_dup,
+        # streaming ingest + multimodal plumbing (oracle-gated)
+        "streaming_backfill": Q.q_streaming_backfill,
+        "multimodal_features": Q.q_multimodal_features,
         # classic OLAP sanity
         "pricing_summary": Q.q_pricing_summary,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -232,6 +235,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs_matched
       FROM documents GROUP BY source ORDER BY source"""
 
+    # streaming path must deliver every doc exactly once, bit-identical:
+    # the oracle is the plain per-source doc count
+    sql["streaming_backfill"] = sql["roundtrip_matches"]
+
+    from rle_spark.multimodal import ensure_asset_parquet
+    asset_path = ensure_asset_parquet()
+    sql["multimodal_features"] = f"""
+      SELECT asset_id, modality,
+             CAST(gt_n_bytes AS BIGINT) AS n_bytes,
+             gt_md5 AS content_md5,
+             gt_mean_r6 AS mean_level_r6,
+             gt_entropy_r6 AS byte_entropy_r6
+      FROM '{asset_path}' ORDER BY asset_id"""
+
     sql["dedup_exact"] = """
       SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""
@@ -240,12 +257,18 @@ def oracle_sql() -> dict[str, str]:
       WITH {_SIG_CTE}
       SELECT doc_id, b0, b1, b2, b3 FROM sig ORDER BY doc_id"""
 
+    # same df_cap=1000 stop-shingle guard as the Spark default: shingles
+    # in more than 1000 docs are dropped on BOTH engines
     sql["ngram_jaccard_pairs"] = """
       WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
                   WHERE len(string_split(text, ' ')) >= 3),
-      shd AS (SELECT DISTINCT doc_id,
+      shd_all AS (SELECT DISTINCT doc_id,
                      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
               FROM ws, unnest(generate_series(1, len(w) - 2)) AS g(i)),
+      shd AS (SELECT * FROM shd_all
+              WHERE shingle NOT IN (SELECT shingle FROM shd_all
+                                    GROUP BY shingle
+                                    HAVING count(*) > 1000)),
       counts AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        count(*) AS n_inter

@@ -349,6 +349,14 @@ def _encode_iter_factory(cfg: EngineConfig, mapside: bool = False):
                                       - (cum[c0 - g0 - 1] if c0 > g0 else 0))
                     if c1 != g1 or cur["ntok"] >= block_tokens:
                         flush_block(key)
+                        # check INSIDE the cut loop too: a single huge
+                        # input batch (very long docs) must not pile up
+                        # payloads past the int32 Arrow-offset ceiling
+                        # before the between-batches check runs
+                        if out_bytes >= _OUT_FLUSH_BYTES:
+                            b = emit_batch()
+                            if b is not None:
+                                yield b
             if out_bytes >= _OUT_FLUSH_BYTES:
                 b = emit_batch()
                 if b is not None:

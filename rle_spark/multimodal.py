@@ -88,6 +88,79 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, ASSET_SCHEMA_DDL)
 
 
+ASSET_FIXTURE_PATH = "/tmp/rle_spark_assets.parquet"
+ASSET_FIXTURE_N = 120
+
+
+def _feature_truth(payload: bytes) -> tuple[int, str, float, float]:
+    """Ground-truth features of one payload (same math the Spark UDF
+    must reproduce through the Arrow/parquet plumbing)."""
+    samples, _w, _h, _frames = _decode_payload(payload)
+    flat = samples.reshape(-1)
+    counts = np.bincount(flat, minlength=256)
+    p = counts[counts > 0] / len(flat)
+    return (len(payload), hashlib.md5(payload).hexdigest(),
+            float(flat.mean()) if len(flat) else 0.0,
+            float(-(p * np.log2(p)).sum()))
+
+
+def ensure_asset_parquet(path: str = ASSET_FIXTURE_PATH,
+                         n: int = ASSET_FIXTURE_N, seed: int = 42) -> str:
+    """Deterministic asset fixture written with plain pyarrow (no
+    Spark), carrying ground-truth feature columns (gt_*) computed at
+    generation time. The oracle-checked multimodal query recomputes the
+    features through the Spark mapInPandas path and must match — this
+    puts the binary-column plumbing under the driver's DuckDB gate."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    if os.path.exists(path):
+        return path
+    rows: dict[str, list] = {k: [] for k in (
+        "asset_id", "modality", "payload", "width", "height", "n_frames",
+        "sample_rate", "gt_n_bytes", "gt_md5", "gt_mean_r6",
+        "gt_entropy_r6")}
+    for i in range(n):
+        rng = np.random.default_rng([seed, i])
+        modality = ["image", "audio", "video"][i % 3]
+        if modality == "image":
+            w, h, frames, sr = int(rng.integers(8, 64)), int(rng.integers(8, 64)), 1, 0
+        elif modality == "audio":
+            w, h, frames, sr = int(rng.integers(256, 4096)), 1, 1, 16000
+        else:
+            w, h, frames, sr = 16, 16, int(rng.integers(4, 32)), 0
+        payload = _fake_payload(rng, modality, w, h, frames)
+        n_bytes, md5, mean, ent = _feature_truth(payload)
+        rows["asset_id"].append(f"{modality}-{i:08d}")
+        rows["modality"].append(modality)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(frames)
+        rows["sample_rate"].append(sr)
+        rows["gt_n_bytes"].append(n_bytes)
+        rows["gt_md5"].append(md5)
+        rows["gt_mean_r6"].append(round(mean, 6))
+        rows["gt_entropy_r6"].append(round(ent, 6))
+    table = pa.table({
+        "asset_id": pa.array(rows["asset_id"], pa.string()),
+        "modality": pa.array(rows["modality"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], pa.int32()),
+        "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        "gt_n_bytes": pa.array(rows["gt_n_bytes"], pa.int64()),
+        "gt_md5": pa.array(rows["gt_md5"], pa.string()),
+        "gt_mean_r6": pa.array(rows["gt_mean_r6"], pa.float64()),
+        "gt_entropy_r6": pa.array(rows["gt_entropy_r6"], pa.float64()),
+    })
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic against concurrent generators
+    return path
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Per-asset content features, vectorized per Arrow batch."""
     def it(batches):

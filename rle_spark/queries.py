@@ -216,6 +216,54 @@ def q_roundtrip_matches(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_streaming_backfill(spark, sf_dir):
+    """Streaming ingest under the oracle gate: tokenize the documents
+    table into landed parquet files, drain them through the
+    foreachBatch incremental encoder, decode the committed blocks, and
+    count bit-identical docs per source — the oracle is a plain
+    count(*) per source, so ANY streaming-path corruption (duplicate
+    epoch, lost wave, decode drift) shows up as a value mismatch."""
+    from .engine import decode_dataframe, read_encoded
+    from .streaming import encode_stream_backfill
+
+    base = os.path.join("/tmp/rle_spark_stream",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    inp = os.path.join(base, "input")
+    out = os.path.join(base, "out")
+    toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        toks.write.mode("overwrite").parquet(inp)
+    encode_stream_backfill(spark, inp, out,
+                           EngineConfig(block_tokens=1 << 16,
+                                        layout="mapside"))
+    decoded = decode_dataframe(read_encoded(spark, out))
+    joined = (toks.select("doc_id", "source", F.col("tokens").alias("t0"))
+              .join(decoded.select("doc_id", F.col("tokens").alias("t1")),
+                    "doc_id", "inner")
+              .filter(F.col("t0").eqNullSafe(F.col("t1"))))
+    return (joined.groupBy("source")
+            .agg(F.count("*").alias("n_docs_matched"))
+            .orderBy("source"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary plumbing under the oracle gate: decode +
+    feature-extract the deterministic asset fixture through the
+    mapInPandas path; the oracle reads the generation-time ground-truth
+    columns straight from the same parquet."""
+    from . import multimodal as M
+
+    path = M.ensure_asset_parquet()
+    assets = spark.read.parquet(path).select("asset_id", "modality",
+                                             "payload")
+    feats = M.extract_features(assets)
+    return (feats.select(
+        "asset_id", "modality", "n_bytes", "content_md5",
+        F.round(F.col("mean_level"), 6).alias("mean_level_r6"),
+        F.round(F.col("byte_entropy"), 6).alias("byte_entropy_r6"))
+        .orderBy("asset_id"))
+
+
 def q_ivf_topk(spark, sf_dir):
     # inverted-file path: one-time write partitioned by ivf_list, then a
     # partition-pruned probe (identical values to ivf_topk_frozen)

@@ -10,16 +10,18 @@ micro-batch with the SAME mapInArrow kernel the batch engine uses
 manifest is rebuilt from the committed files.
 
 Delivery semantics: the checkpoint gives each micro-batch a stable
-epoch id; block ids are prefixed with it, so a replayed epoch
-re-creates the same ids and a downstream reader (or a periodic
-compaction) can drop duplicates deterministically — at-least-once
-file delivery, exactly-once block identity. The manifest is always
+epoch id; each epoch writes to its OWN subdirectory
+(blocks/epoch=<id>) with overwrite, so a replayed epoch (write
+succeeded, checkpoint commit lost) rewrites the same directory
+instead of appending duplicate block files — exactly-once block
+identity without any read-side dedup. The manifest is always
 recomputed from what is actually on disk (engine.refresh_manifest),
 never incrementally guessed.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,6 +43,11 @@ def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
     keeps running and encodes new files as they land.
     """
     cfg = cfg or EngineConfig(layout="mapside")
+    if cfg.layout != "mapside":
+        # the per-epoch kernel is mapside by construction (bucket ids
+        # are scan-split ordinals within the epoch); honor the caller's
+        # other knobs but never silently run a different layout
+        cfg = dataclasses.replace(cfg, layout="mapside")
     blocks_path = os.path.join(out_dir, "blocks")
     checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
 
@@ -53,9 +60,12 @@ def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
                                BLOCK_SCHEMA_DDL)
         blocks = blocks.withColumn(
             "block_id", F.concat(F.lit(f"e{epoch_id}:"), F.col("block_id")))
-        (blocks.write.mode("append")
+        # epoch-scoped overwrite: a replayed epoch rewrites its own
+        # directory, so at-least-once foreachBatch delivery can never
+        # leave duplicate block files behind
+        (blocks.write.mode("overwrite")
          .option("compression", cfg.parquet_codec)
-         .parquet(blocks_path))
+         .parquet(os.path.join(blocks_path, f"epoch={epoch_id}")))
 
     writer = (src.writeStream.foreachBatch(_epoch)
               .option("checkpointLocation", checkpoint))

@@ -234,7 +234,7 @@ def token_count_stats(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, min_pct: int = 20,
-                        df_cap: int | None = None) -> DataFrame:
+                        df_cap: int | None = 1000) -> DataFrame:
     """Exact pairwise word-k-gram Jaccard via an inverted shingle index.
 
     Candidate pairs = docs sharing at least one shingle (exact: any
@@ -242,8 +242,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, min_pct: int = 20,
     shingle key — a hash-partition join whose cost tracks posting-list
     sizes, not N^2. `df_cap` drops shingles occurring in more than
     df_cap docs (stop-shingles): the standard scale knob that bounds
-    the worst posting list; Jaccard then becomes a documented
-    approximation. jaccard_pct is an integer percent
+    the worst posting list at df_cap^2 pairs — ON by default (1000),
+    because one boilerplate shingle otherwise quadratically explodes
+    the join at scale; pass None for the exact all-shingles join.
+    Jaccard over the capped shingle set is exact for the capped set
+    (the SQL oracle applies the identical cap). jaccard_pct is an
+    integer percent
     (floor(100*|A∩B| / |A∪B|)) so the SQL oracle compares exactly.
     """
     sh = shingles(docs, k).distinct()

@@ -43,3 +43,53 @@ def test_stream_backfill_then_incremental(spark, tmp_path_factory):
     assert os.path.exists(os.path.join(out, "_checkpoint"))
     wave1.unpersist()
     wave2.unpersist()
+
+
+def test_epoch_replay_overwrites_not_appends(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: replaying an epoch whose write
+    committed but whose checkpoint didn't must overwrite the epoch
+    directory, leaving zero duplicate blocks/docs."""
+    from rle_spark.blocks import BLOCK_SCHEMA_DDL
+    from rle_spark.engine import _encode_iter_factory, refresh_manifest
+
+    out = str(tmp_path_factory.mktemp("replay_out"))
+    blocks_path = os.path.join(out, "blocks")
+    df = token_table(spark, 50, seed=13).cache()
+    df.count()
+
+    def epoch_write(epoch_id):  # mirrors streaming._epoch
+        blocks = df.mapInArrow(_encode_iter_factory(CFG, mapside=True),
+                               BLOCK_SCHEMA_DDL)
+        blocks = blocks.withColumn(
+            "block_id", F.concat(F.lit(f"e{epoch_id}:"), F.col("block_id")))
+        (blocks.write.mode("overwrite")
+         .parquet(os.path.join(blocks_path, f"epoch={epoch_id}")))
+
+    epoch_write(0)
+    epoch_write(0)  # the replay
+    refresh_manifest(spark, out)
+    got = read_encoded(spark, out)
+    assert got.count() == got.select("block_id").distinct().count()
+    decoded = decode_dataframe(got)
+    assert decoded.count() == 50  # no duplicate docs
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    man = spark.read.parquet(os.path.join(out, "manifest"))
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == 50
+    df.unpersist()
+
+
+def test_encode_stream_forces_mapside_layout(spark, tmp_path_factory):
+    """A clustered EngineConfig must not silently run a different
+    layout: encode_stream coerces it to mapside."""
+    src = str(tmp_path_factory.mktemp("layout_src"))
+    out = str(tmp_path_factory.mktemp("layout_out"))
+    df = token_table(spark, 20, seed=14).cache()
+    df.count()
+    df.write.mode("overwrite").parquet(src)
+    s = encode_stream_backfill(spark, src, out,
+                               EngineConfig(block_tokens=1 << 15,
+                                            layout="clustered"))
+    assert s["n_docs"] == 20
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
