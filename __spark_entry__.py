@@ -38,6 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_stats_returnflag": Q.q_run_stats_returnflag,
         "run_extract_orderstatus": Q.q_run_extract_orderstatus,
         "run_length_histogram": Q.q_run_length_histogram,
+        "width2_run_histogram": Q.q_width2_run_histogram,
+        "unaligned2_run_histogram": Q.q_unaligned2_run_histogram,
+        "lru_recurrence": Q.q_lru_recurrence,
         "ref_rle8_size": Q.q_ref_rle8_size,
         "column_codec_stats": Q.q_column_codec_stats,
         "codec_selection": Q.q_codec_selection,
@@ -205,6 +208,71 @@ def oracle_sql() -> dict[str, str]:
       SELECT CAST(length(bin(run_len)) - 1 AS INT) AS bit_class,
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs GROUP BY 1 ORDER BY 1"""
+
+    # full --analyze surface: width-2 aligned symbol runs, stride-2
+    # unaligned (UNBOUND) runs, and LUT-motivating recurrence stats
+    _SEQ_CTE = ("seq AS (SELECT l_returnflag AS ch, row_number() OVER "
+                "(ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)")
+
+    sql["width2_run_histogram"] = f"""
+      WITH {_SEQ_CTE},
+      syms AS (SELECT CAST((rn-1)//2 AS BIGINT) AS sym_idx,
+                      string_agg(ch, '' ORDER BY rn) AS sym,
+                      count(*) AS nb
+               FROM seq GROUP BY 1),
+      c AS (SELECT sym_idx, sym FROM syms WHERE nb = 2),
+      runs AS (SELECT count(*) AS run_len FROM (
+        SELECT sym, sym_idx - row_number()
+               OVER (PARTITION BY sym ORDER BY sym_idx) AS grp
+        FROM c) GROUP BY sym, grp)
+      SELECT CAST(length(bin(run_len)) - 1 AS INT) AS bit_class,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1 ORDER BY 1"""
+
+    sql["unaligned2_run_histogram"] = f"""
+      WITH {_SEQ_CTE},
+      eqt AS (SELECT rn, COALESCE(ch = lag(ch, 2) OVER (ORDER BY rn),
+                                  FALSE) AS eq FROM seq),
+      runs AS (SELECT eq, count(*) AS len FROM (
+        SELECT eq, rn - row_number()
+               OVER (PARTITION BY eq ORDER BY rn) AS grp
+        FROM eqt) GROUP BY eq, grp)
+      SELECT CAST(length(bin(len + 2)) - 1 AS INT) AS bit_class,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
+
+    sql["lru_recurrence"] = """
+      WITH runs AS (
+        SELECT count(*) AS run_len, min(rn) AS s, v AS value FROM (
+          SELECT o_orderstatus AS v, rn,
+                 rn - row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY rn) AS grp
+          FROM (SELECT o_orderstatus,
+                       row_number() OVER (ORDER BY o_orderkey) AS rn
+                FROM orders)
+        ) GROUP BY v, grp HAVING count(*) >= 3),
+      o AS (SELECT value,
+                   lag(value,1) OVER (ORDER BY s) AS p1,
+                   lag(value,2) OVER (ORDER BY s) AS p2,
+                   lag(value,3) OVER (ORDER BY s) AS p3,
+                   lag(value,4) OVER (ORDER BY s) AS p4,
+                   lag(value,5) OVER (ORDER BY s) AS p5,
+                   lag(value,6) OVER (ORDER BY s) AS p6,
+                   lag(value,7) OVER (ORDER BY s) AS p7
+            FROM runs)
+      SELECT CAST(1 AS INT) AS k,
+             CAST(count(*) FILTER (WHERE value IN (p1)) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS n_runs FROM o
+      UNION ALL
+      SELECT CAST(3 AS INT),
+             CAST(count(*) FILTER (WHERE value IN (p1, p2, p3)) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM o
+      UNION ALL
+      SELECT CAST(7 AS INT),
+             CAST(count(*) FILTER (WHERE value IN (p1, p2, p3, p4, p5,
+                                                   p6, p7)) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM o
+      ORDER BY k"""
 
     sql["ref_rle8_size"] = (_ref_rle8_sql("l_returnflag") + " UNION ALL "
                             + _ref_rle8_sql("l_linestatus")

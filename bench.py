@@ -46,6 +46,7 @@ SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "3"))
 HEADLINE = [
     "encode_manifest", "roundtrip_matches", "tokenize_stats",
     "run_stats_returnflag", "run_extract_orderstatus", "run_length_histogram",
+    "width2_run_histogram", "unaligned2_run_histogram", "lru_recurrence",
     "column_codec_stats",
     "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
     "near_dup_buckets", "ngram_jaccard_pairs", "doc_fingerprint",

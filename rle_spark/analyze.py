@@ -358,6 +358,185 @@ def ref_rle8_size_v1(df: DataFrame, cols: list[str],
         out, "col_name string, model_bytes long")
 
 
+# ---------------------------------------------------------------------------
+# full --analyze surface: width-parameterized run histograms (aligned +
+# unaligned) and LRU recurrence stats — the reference analyzes run
+# structure at 16 symbol widths, aligned and unaligned, plus recurring-
+# symbol LRU stats (/root/reference/src/main.c:1246-2257); these are the
+# Spark-native equivalents over a one-byte-per-row column.
+# ---------------------------------------------------------------------------
+
+
+def with_global_rn(df: DataFrame, col: str, order: list[str]) -> DataFrame:
+    """(rn long [1-based], value) under the total order, distributed:
+    the ranged kernel emits per-task local indices; the driver resolves
+    the O(P) per-task row offsets (same budget as partition_runs)."""
+    vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        li = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            yield pd.DataFrame({"pid": pid,
+                                "li": np.arange(li, li + n, dtype=np.int64),
+                                "value": pdf[col].to_numpy()})
+            li += n
+
+    base = (arranged.mapInPandas(it, f"pid int, li long, value {vtype}")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cnts = {r.pid: r.cnt for r in
+            base.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "pid int, row_offset long")
+    return (base.join(F.broadcast(off_df), "pid")
+            .select((F.col("row_offset") + F.col("li") + 1).alias("rn"),
+                    "value"))
+
+
+def sym_width_run_histogram(df: DataFrame, col: str, order: list[str],
+                            sym_bytes: int) -> DataFrame:
+    """ALIGNED run-length histogram at a wider symbol width: the byte
+    stream (one single-char value per row) is grouped into consecutive
+    sym_bytes-wide symbols (incomplete tail symbol dropped), runs are
+    detected over the symbol sequence, and lengths (in symbols) are
+    bucketed by bit class — AnalyzeData's per-width aligned histogram
+    (/root/reference/src/main.c:1246+). One extra shuffle (by symbol
+    ordinal) over the width-grouping; everything else rides
+    partition_runs."""
+    rn_df = with_global_rn(df, col, order)
+    w = sym_bytes
+    grouped = (rn_df
+               .withColumn("sym_idx", F.floor((F.col("rn") - 1) / w))
+               .withColumn("pos", (F.col("rn") - 1) % w)
+               .groupBy("sym_idx")
+               .agg(F.count("*").alias("nb"),
+                    F.concat_ws("", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "value"))),
+                        lambda x: x["value"])).alias("sym"))
+               .filter(F.col("nb") == w)
+               .select("sym_idx", "sym"))
+    runs = partition_runs(grouped, "sym", ["sym_idx"])
+    bit_class = (F.length(F.bin(F.col("run_len"))) - 1).alias("bit_class")
+    return (runs.select(bit_class)
+            .groupBy("bit_class").agg(F.count("*").alias("n_runs"))
+            .orderBy("bit_class"))
+
+
+def unaligned_run_histogram(df: DataFrame, col: str, order: list[str],
+                            stride: int) -> DataFrame:
+    """UNALIGNED (byte-aligned) run histogram at a stride: maximal
+    intervals where byte[i] == byte[i-stride] (runs may start anywhere
+    — the UNBOUND semantics, /root/reference/src/rleX_extreme_cpu.h:23-35);
+    histogram is over covered bytes = matched length + stride. The
+    self-equality column is a distributed equi-join on rn (no window);
+    interval extraction rides partition_runs over the boolean flag."""
+    rn_df = with_global_rn(df, col, order)
+    shifted = rn_df.select((F.col("rn") + stride).alias("rn"),
+                           F.col("value").alias("prev"))
+    eq = (rn_df.join(shifted, "rn", "left")
+          .select("rn", F.coalesce(F.col("value") == F.col("prev"),
+                                   F.lit(False)).alias("eq")))
+    runs = partition_runs(eq, "eq", ["rn"]).filter(F.col("value"))
+    covered = F.col("run_len") + stride
+    bit_class = (F.length(F.bin(covered)) - 1).alias("bit_class")
+    return (runs.select(bit_class)
+            .groupBy("bit_class").agg(F.count("*").alias("n_runs"))
+            .orderBy("bit_class"))
+
+
+def lru_recurrence(df: DataFrame, col: str, order: list[str],
+                   ks: tuple[int, ...] = (1, 3, 7),
+                   min_run: int = 3) -> DataFrame:
+    """Recurring-RLE-symbol stats: for each LUT size K, how many
+    emitted runs (len >= min_run, i.e. the runs an encoder would emit —
+    consecutive emitted runs CAN repeat a value across the literal gap)
+    find their symbol among the previous K emitted-run symbols. This is
+    the feature that motivates the reference's 1/3/7-symbol LUT codecs
+    (window membership rather than the exact LRU-distinct rank —
+    documented deviation; a K-window over emitted runs holds at most K
+    distinct symbols, so window hits lower-bound LUT hits).
+
+    Distributed: the emitted-run list is range-partitioned on position;
+    each task computes window membership for rows with full local
+    context and exports its first/last max(K) symbols; the driver
+    resolves the O(P*K) boundary rows."""
+    max_k = max(ks)
+    runs = partition_runs(df, col, order).filter(F.col("run_len") >= min_run)
+    cand = (runs.select("start_rn", "value")
+            .repartitionByRange(F.col("start_rn"))
+            .sortWithinPartitions("start_rn")
+            .withColumn("pid", F.spark_partition_id()))
+    vtype = df.schema[col].dataType.simpleString()
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        vals: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            vals.extend(pdf["value"].tolist())
+        if pid < 0:
+            return
+        v = np.asarray(vals)
+        m = len(v)
+        hits = {}
+        for k in ks:
+            h = np.zeros(m, dtype=bool)
+            for j in range(1, k + 1):
+                h[j:] |= v[j:] == v[:-j]
+            # rows needing the previous task's tail are resolved by the
+            # driver; only full-context rows count here
+            hits[k] = int(h[max_k:].sum()) if m > max_k else 0
+        head = vals[:max_k]
+        tail = vals[-max_k:]
+        yield pd.DataFrame({
+            "pid": [pid], "m": [m],
+            **{f"hits_{k}": [hits[k]] for k in ks},
+            "head": [head], "tail": [tail]})
+
+    schema = ("pid int, m long, "
+              + ", ".join(f"hits_{k} long" for k in ks)
+              + f", head array<{vtype}>, tail array<{vtype}>")
+    parts = sorted(cand.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+
+    n_runs = sum(r.m for r in parts)
+    totals = {k: 0 for k in ks}
+    carry: list = []  # rolling tail of the last max_k symbols seen
+    for r in parts:
+        for k in ks:
+            totals[k] += r[f"hits_{k}"]
+        # boundary rows: this task's first min(m, max_k) symbols, with
+        # the carry prepended for their lookback window
+        head = list(r.head)
+        ctx = carry + head
+        base = len(carry)
+        for i in range(min(r.m, max_k)):
+            for k in ks:
+                lo = max(0, base + i - k)
+                if ctx[base + i] in ctx[lo:base + i]:
+                    totals[k] += 1
+        carry = (carry + list(r.tail))[-max_k:] if r.m >= max_k \
+            else (carry + head)[-max_k:]
+    rows = [(int(k), int(totals[k]), int(n_runs)) for k in ks]
+    return df.sparkSession.createDataFrame(
+        rows, "k int, n_hits long, n_runs long")
+
+
 # estimate formulas shared with the SQL oracle (q_codec_selection):
 # keep in sync with __spark_entry__.py oracle text
 

@@ -30,7 +30,10 @@ from .base import (
 )
 from .rle import split_runs_literals, DEFAULT_MIN_RUN
 
-LUT_WINDOW = 7  # the 7-sym-LUT tier
+LUT_WINDOW = 7  # default tier; the reference grid is 1/3/7
+                # (/root/reference/src/rleX_Xsl.c:7-175 instantiates all
+                # three; the window is an encode-side knob here — decode
+                # reads stored distances and never needs it)
 
 
 def _prev_occurrence(values: np.ndarray) -> np.ndarray:
@@ -50,14 +53,15 @@ def _prev_occurrence(values: np.ndarray) -> np.ndarray:
 
 
 def lut_encode_symbols(sym: np.ndarray,
-                       min_run: int = DEFAULT_MIN_RUN) -> bytes:
+                       min_run: int = DEFAULT_MIN_RUN,
+                       window: int = LUT_WINDOW) -> bytes:
     _, run_lens, run_values, lit_lens, lit_values = split_runs_literals(
         sym, min_run)
     rv = run_values.astype(np.int64, copy=False)
     k = len(rv)
     prev = _prev_occurrence(rv)
     dist = np.arange(k, dtype=np.int64) - prev
-    hit = (prev >= 0) & (dist <= LUT_WINDOW)
+    hit = (prev >= 0) & (dist <= window)
     return pack_sections([
         pack_ints(run_lens),
         pack_ints(lit_lens),

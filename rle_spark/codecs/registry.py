@@ -206,8 +206,9 @@ def _rle128_decode(buf, n):
     return lanes.reshape(-1).view(np.uint8)[: n * 4].view(TOKEN_DTYPE).copy()
 
 
-def _rle32_lut_encode(arr):
-    return lut_encode_symbols(_as_tokens(arr).astype(np.int64))
+def _rle32_lut_encode(arr, window=7):
+    return lut_encode_symbols(_as_tokens(arr).astype(np.int64),
+                              window=window)
 
 
 def _rle32_lut_decode(buf, n):
@@ -386,6 +387,11 @@ _register(26, "rle48_sym", _rle_sym_wide_encode(2, 3), _rle_sym_wide_decode(2, 3
           lambda st: None)
 # true Low Entropy: eligibility bitmap + count-byte stream, then zlib
 _register(27, "rle8_le", _rle8_le_encode, _rle8_le_decode, lambda st: None)
+# F4 LUT grid completion: 1- and 3-symbol recency windows (id 16 = 7)
+_register(28, "rle32_lut1", lambda a: _rle32_lut_encode(a, 1),
+          _rle32_lut_decode, lambda st: None)
+_register(29, "rle32_lut3", lambda a: _rle32_lut_encode(a, 3),
+          _rle32_lut_decode, lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -396,7 +402,8 @@ PROBE_CODECS = ["rle64_sym", "rle128_sym", "rle8", "rle16_sym",
 # (the reference's greedy-encoder tier, README.md:251-254); zlib-backed
 # entries are the Low Entropy (F7) analogues
 MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
-                     "rle8_le", "rle32_lut", "rle16_byte", "rle24_byte",
+                     "rle8_le", "rle32_lut", "rle32_lut1", "rle32_lut3",
+                     "rle16_byte", "rle24_byte",
                      "rle48_byte", "rle64_byte", "rle128_byte",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
                      "rle48_sym"]

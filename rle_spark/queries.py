@@ -52,6 +52,22 @@ def q_column_codec_stats(spark, sf_dir):
             .orderBy("col_name"))
 
 
+def q_width2_run_histogram(spark, sf_dir):
+    return analyze.sym_width_run_histogram(_t(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 2)
+
+
+def q_unaligned2_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_t(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 2)
+
+
+def q_lru_recurrence(spark, sf_dir):
+    return (analyze.lru_recurrence(_t(spark, sf_dir, "orders"),
+                                   "o_orderstatus", ["o_orderkey"])
+            .orderBy("k"))
+
+
 def q_codec_selection(spark, sf_dir):
     stats = analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
                                        STAT_COLS, LINE_ORDER)

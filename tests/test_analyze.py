@@ -1,0 +1,125 @@
+"""Scale-safe analyze operators vs naive in-memory references.
+
+The distributed kernels (range partition + per-task NumPy + O(P)
+driver boundary merge) must be bit-identical to a straightforward
+single-array computation on the same data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rle_spark import analyze
+from rle_spark.codecs.base import find_runs
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    """A char-per-row table with runs, spread over many partitions."""
+    rng = np.random.default_rng(3)
+    chars = np.repeat(
+        np.array(list("ABCDEF"))[rng.integers(0, 6, 4000)],
+        rng.integers(1, 9, 4000))
+    pdf = pd.DataFrame({"pos": np.arange(len(chars)), "ch": chars})
+    return spark.createDataFrame(pdf).repartition(8).cache(), chars
+
+
+def test_partition_runs_matches_naive(spark, seq_df):
+    df, chars = seq_df
+    runs = analyze.partition_runs(df, "ch", ["pos"]).collect()
+    starts, lens = find_runs(chars)
+    want = {(int(s) + 1, chars[s], int(ln))
+            for s, ln in zip(starts, lens)}
+    got = {(r.start_rn, r.value, r.run_len) for r in runs}
+    assert got == want
+
+
+def test_with_global_rn_matches_order(spark, seq_df):
+    df, chars = seq_df
+    rows = analyze.with_global_rn(df, "ch", ["pos"]).collect()
+    assert len(rows) == len(chars)
+    for r in rows[:50] + rows[-50:]:
+        assert chars[r.rn - 1] == r.value
+    assert sorted(r.rn for r in rows) == list(range(1, len(chars) + 1))
+
+
+def _naive_width_hist(chars, w):
+    m = len(chars) // w
+    syms = np.array(["".join(chars[i * w:(i + 1) * w]) for i in range(m)])
+    _, lens = find_runs(syms)
+    bc = np.int64(np.floor(np.log2(lens)))
+    vals, counts = np.unique(bc, return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+@pytest.mark.parametrize("w", [2, 3, 4])
+def test_sym_width_run_histogram(spark, seq_df, w):
+    df, chars = seq_df
+    got = {r.bit_class: r.n_runs for r in
+           analyze.sym_width_run_histogram(df, "ch", ["pos"], w).collect()}
+    assert got == _naive_width_hist(chars, w)
+
+
+def _naive_unaligned_hist(chars, stride):
+    n = len(chars)
+    eq = np.zeros(n, dtype=bool)
+    eq[stride:] = chars[stride:] == chars[:-stride]
+    starts, lens = find_runs(eq)
+    lens = lens[eq[starts]]
+    covered = lens + stride
+    bc = np.int64(np.floor(np.log2(covered)))
+    vals, counts = np.unique(bc, return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+@pytest.mark.parametrize("stride", [1, 2, 3])
+def test_unaligned_run_histogram(spark, seq_df, stride):
+    df, chars = seq_df
+    got = {r.bit_class: r.n_runs for r in
+           analyze.unaligned_run_histogram(df, "ch", ["pos"],
+                                           stride).collect()}
+    assert got == _naive_unaligned_hist(chars, stride)
+
+
+def _naive_lru(chars, ks, min_run):
+    starts, lens = find_runs(chars)
+    vals = [chars[s] for s, ln in zip(starts, lens) if ln >= min_run]
+    out = {}
+    for k in ks:
+        hits = sum(1 for i, v in enumerate(vals)
+                   if v in vals[max(0, i - k):i])
+        out[k] = (hits, len(vals))
+    return out
+
+
+def test_lru_recurrence_matches_naive(spark, seq_df):
+    df, chars = seq_df
+    ks = (1, 3, 7)
+    got = {r.k: (r.n_hits, r.n_runs) for r in
+           analyze.lru_recurrence(df, "ch", ["pos"], ks=ks,
+                                  min_run=2).collect()}
+    assert got == _naive_lru(chars, ks, 2)
+
+
+def test_lru_recurrence_monotone_in_k(spark, seq_df):
+    df, _ = seq_df
+    rows = sorted(analyze.lru_recurrence(df, "ch", ["pos"]).collect(),
+                  key=lambda r: r.k)
+    hits = [r.n_hits for r in rows]
+    assert hits == sorted(hits)  # bigger LUT window never loses hits
+
+
+def test_partition_runs_single_value_column(spark):
+    # one giant run spanning every partition boundary
+    pdf = pd.DataFrame({"pos": range(5000), "ch": ["X"] * 5000})
+    df = spark.createDataFrame(pdf).repartition(8)
+    runs = analyze.partition_runs(df, "ch", ["pos"]).collect()
+    assert len(runs) == 1
+    assert (runs[0].start_rn, runs[0].value, runs[0].run_len) == (1, "X", 5000)
+
+
+def test_partition_runs_empty(spark):
+    df = spark.createDataFrame(pd.DataFrame({"pos": [], "ch": []}),
+                               "pos long, ch string")
+    assert analyze.partition_runs(df, "ch", ["pos"]).count() == 0
