@@ -31,7 +31,7 @@ memtune.apply()  # before any JVM launch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "48000"))
+BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "96000"))
 # N -> 4N parallelism pair for the scaling-efficiency criterion.
 # Default 1 -> 4: this sandbox VM's memory subsystem (first-touch
 # page faults + a single shared memory bus) degrades per-worker speed
@@ -112,10 +112,24 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
     the payload over the network — and in this single-disk sandbox a
     full-data shuffle measures the one shared disk, not the engine.
     The clustered layout is benchmarked separately in BENCH.md.
+
+    Transport: the file-granular source (rle_spark.sources) by
+    default — Spark's JVM row->Arrow conversion of array<int> columns
+    is 2-4x slower than each task reading its own row groups with
+    pyarrow (measured in sources.py's docstring); set
+    RLE_BENCH_TRANSPORT=dataframe for the JVM-scan path.
     """
     from pyspark.sql import functions as F
     from rle_spark.engine import (EngineConfig, encode_dataframe,
                                   encode_table, warm_python_workers)
+    from rle_spark.sources import (decode_parquet_dir_summary,
+                                   encode_parquet_dir_direct,
+                                   encode_parquet_dir_summary)
+    use_files = os.environ.get("RLE_BENCH_TRANSPORT", "files") != "dataframe"
+    # one task wave per core by default: the bench corpus has uniform
+    # row groups, and every extra wave pays ~200 ms/task python-worker
+    # setup on this host (see sources._split_df)
+    n_tasks = cpus * int(os.environ.get("RLE_BENCH_TASKS_PER_CPU", "1"))
     spark = (make_spark(cpus, f"bench-encode-{cpus}"))
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -126,20 +140,28 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
         spark.read.parquet(src_path).selectExpr("sum(n_tok)").collect()
         warm_python_workers(spark, cpus)
         cfg = EngineConfig(block_tokens=1 << 18, layout="mapside")
+
+        def blocks_df(rep: int):
+            # fresh lineage per run (the _rep literal changes the plan)
+            # so Spark cannot serve a repeat from reused stage output.
+            # files transport: summary kernel (payload dropped in-task;
+            # the real job writes it python-side, never IPCs it back)
+            if use_files:
+                return (encode_parquet_dir_summary(
+                    spark, src_path, cfg, target_split_bytes=16 << 20,
+                    n_tasks=n_tasks)
+                    .withColumn("_rep", F.lit(rep)))
+            return encode_dataframe(spark.read.parquet(src_path)
+                                    .withColumn("_rep", F.lit(rep)), cfg)
+
         # full untimed dry encode (reference protocol src/main.c:808-811):
         # first runs are consistently slowest (codegen/JIT + allocator
         # warm-up in every worker) — measured 1.5-2x above steady state
-        (encode_dataframe(spark.read.parquet(src_path)
-                          .withColumn("_rep", F.lit(-1)), cfg)
-         .agg(F.sum("comp_bytes")).collect())
+        blocks_df(-1).agg(F.sum("comp_bytes")).collect()
         stage_walls = []
         orig = comp = 0
         for i in range(stage_runs):
-            # fresh lineage per run (the _rep literal changes the plan)
-            # so Spark cannot serve a repeat from reused stage output
-            df_i = (spark.read.parquet(src_path)
-                    .withColumn("_rep", F.lit(i)))
-            blocks = encode_dataframe(df_i, cfg)
+            blocks = blocks_df(i)
             t0 = time.time()
             row = blocks.agg(F.sum("orig_bytes").alias("o"),
                              F.sum("comp_bytes").alias("c")).collect()[0]
@@ -150,18 +172,33 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
         for _ in range(job_runs):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
-            summary = encode_table(spark, spark.read.parquet(src_path),
-                                   out_dir, cfg, resume=False)
+            if use_files:
+                summary = encode_parquet_dir_direct(
+                    spark, src_path, out_dir, cfg,
+                    target_split_bytes=16 << 20, n_tasks=n_tasks)
+            else:
+                summary = encode_table(spark, spark.read.parquet(src_path),
+                                       out_dir, cfg, resume=False)
             job_walls.append(time.time() - t0)
         # decode throughput over the written blocks (the reference
-        # reports decode alongside encode for every codec)
+        # reports decode alongside encode for every codec). files
+        # transport: tasks read block files with pyarrow and
+        # materialize the decoded arrays python-side (where a training
+        # dataloader consumes them), returning only counts
         from rle_spark.engine import decode_dataframe, read_encoded
         decode_walls = []
         for i in range(stage_runs):
-            dec = decode_dataframe(
-                read_encoded(spark, out_dir).withColumn("_rep", F.lit(i)))
-            t0 = time.time()
-            dec.agg(F.sum(F.size("tokens"))).collect()
+            if use_files:
+                dec = (decode_parquet_dir_summary(spark, out_dir,
+                                                  n_tasks=n_tasks)
+                       .withColumn("_rep", F.lit(i)))
+                t0 = time.time()
+                dec.agg(F.sum("n_tokens")).collect()
+            else:
+                dec = decode_dataframe(
+                    read_encoded(spark, out_dir).withColumn("_rep", F.lit(i)))
+                t0 = time.time()
+                dec.agg(F.sum(F.size("tokens"))).collect()
             decode_walls.append(time.time() - t0)
         wall = min(stage_walls)
         dwall = min(decode_walls)
@@ -209,12 +246,15 @@ def main():
     results: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "unit": "sec"}
 
     # 1) headline queries at local[CPUS]
-    spark = make_spark(CPUS, "bench-queries")
-    spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    queries = run_queries(spark)
-    total = round(time.time() - t0, 3)
-    spark.stop()
+    if os.environ.get("RLE_BENCH_SKIP_QUERIES") == "1":
+        queries, total = {}, 0.0
+    else:
+        spark = make_spark(CPUS, "bench-queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = time.time()
+        queries = run_queries(spark)
+        total = round(time.time() - t0, 3)
+        spark.stop()
 
     results.update({
         "metric": "headline_query_total_sec",

@@ -112,7 +112,9 @@ def _dict_decode(buf, n):
 
 
 def _rle32_encode(arr):
-    return rle_encode_symbols(_as_tokens(arr).astype(np.int64), packed=True)
+    # int32 goes straight in: pack_ints promotes internally, and the
+    # 8 B/token upcast was a full extra pass + allocation per block
+    return rle_encode_symbols(_as_tokens(arr), packed=True)
 
 
 def _rle32_decode(buf, n):
@@ -120,7 +122,7 @@ def _rle32_decode(buf, n):
 
 
 def _single32_encode(arr):
-    return single_encode_symbols(_as_tokens(arr).astype(np.int64))
+    return single_encode_symbols(_as_tokens(arr))
 
 
 def _single32_decode(buf, n):
@@ -207,8 +209,7 @@ def _rle128_decode(buf, n):
 
 
 def _rle32_lut_encode(arr, window=7):
-    return lut_encode_symbols(_as_tokens(arr).astype(np.int64),
-                              window=window)
+    return lut_encode_symbols(_as_tokens(arr), window=window)
 
 
 def _rle32_lut_decode(buf, n):

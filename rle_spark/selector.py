@@ -75,13 +75,13 @@ class SelectorConfig:
     allow: list[str] = field(default_factory=list)  # allow-list; [] = all
     probe_run_frac: float = 0.7  # probe byte-image codecs when
                                  # n_runs/n below this (repetitive data)
-    memo_every: int = 8  # full re-selection every Nth block per group;
-                         # in between, encode with the sticky winner
-                         # (raw-guarded). 1 = always full selection.
+    memo_every: int = 16  # full re-selection every Nth block per group;
+                          # in between, encode with the sticky winner
+                          # (raw-guarded). 1 = always full selection.
 
 
-def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
-                      ) -> tuple[str, bytes, dict]:
+def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None,
+                      probes: bool = True) -> tuple[str, bytes, dict]:
     """Choose the cheapest codec for this block and encode with it.
 
     Returns (codec_name, payload, stats). Guaranteed:
@@ -112,7 +112,7 @@ def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None
     ests.sort()
 
     trial = [name for _, name in ests[: cfg.trial_top]]
-    if cfg.effort in ("balanced", "max"):
+    if probes and cfg.effort in ("balanced", "max"):
         # probe byte-image codecs only when token-level prospects are
         # weak or the data shows byte-level structure worth chasing
         best_est_ratio = (ests[0][0] / raw_size) if ests else 1.0
@@ -157,6 +157,7 @@ class StickySelector:
     def __init__(self, cfg: SelectorConfig | None = None):
         self.cfg = cfg or SelectorConfig()
         self._memo: dict = {}   # group -> (codec_name, uses_left)
+        self._probed: set = set()  # groups whose first selection probed
 
     def encode(self, group, arr: np.ndarray) -> tuple[str, bytes]:
         cfg = self.cfg
@@ -169,6 +170,11 @@ class StickySelector:
                 self._memo[group] = (name, left - 1)
                 return name, payload
             # sticky choice went stale -> fall through to full selection
-        name, payload, _st = select_and_encode(arr, cfg)
+        # the byte-image probe sweep runs once per group: periodic
+        # re-selections only re-rank the estimate-capable codecs (the
+        # raw guard still catches a distribution collapse mid-stream)
+        name, payload, _st = select_and_encode(
+            arr, cfg, probes=group not in self._probed)
+        self._probed.add(group)
         self._memo[group] = (name, cfg.memo_every - 1)
         return name, payload

@@ -1,0 +1,96 @@
+"""File-granular parquet source: same kernel, pyarrow transport."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rle_spark.datagen import token_table
+from rle_spark.engine import (EngineConfig, decode_dataframe, encode_dataframe,
+                              roundtrip_mismatch_count)
+from rle_spark.sources import (encode_parquet_dir, encode_parquet_dir_to_table,
+                               plan_parquet_splits)
+
+CFG = EngineConfig(block_tokens=1 << 15, layout="mapside")
+
+
+def test_file_source_roundtrip(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("fsrc"))
+    df = token_table(spark, 120, seed=21).cache()
+    df.count()
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    blocks = encode_parquet_dir(spark, src, CFG)
+    decoded = decode_dataframe(blocks)
+    assert roundtrip_mismatch_count(df, decoded) == 0
+
+    # identical corpus totals as the DataFrame-transport mapside path
+    want = (encode_dataframe(spark.read.parquet(src), CFG)
+            .agg(F.sum("n_docs"), F.sum("n_tokens"), F.sum("orig_bytes"))
+            .collect()[0])
+    got = (encode_parquet_dir(spark, src, CFG)
+           .agg(F.sum("n_docs"), F.sum("n_tokens"), F.sum("orig_bytes"))
+           .collect()[0])
+    assert tuple(got) == tuple(want)
+    df.unpersist()
+
+
+def test_file_source_full_job(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("fsrc2"))
+    out = str(tmp_path_factory.mktemp("fout"))
+    df = token_table(spark, 80, seed=22).cache()
+    df.count()
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    s = encode_parquet_dir_to_table(spark, src, out, CFG)
+    assert s["n_docs"] == 80
+    assert 0 < s["ratio"] < 1.0
+    assert os.path.exists(os.path.join(out, "manifest"))
+    from rle_spark.engine import read_encoded
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
+
+
+def test_split_planning_covers_all_row_groups(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("fsrc3"))
+    df = token_table(spark, 60, seed=23)
+    df.repartition(5).write.mode("overwrite").parquet(src)
+    import pyarrow.parquet as pq
+    import glob
+    total_rgs = sum(pq.ParquetFile(p).metadata.num_row_groups
+                    for p in glob.glob(os.path.join(src, "*.parquet")))
+    # tiny target -> one split per row group; large target -> one per file
+    fine = plan_parquet_splits(src, target_bytes=1)
+    assert sum(g1 - g0 for _, g0, g1 in fine) == total_rgs
+    coarse = plan_parquet_splits(src, target_bytes=1 << 40)
+    assert sum(g1 - g0 for _, g0, g1 in coarse) == total_rgs
+    assert len(coarse) <= len(fine)
+
+
+def test_direct_writer_roundtrip_and_idempotence(spark, tmp_path_factory):
+    from rle_spark.sources import (decode_parquet_dir_summary,
+                                   encode_parquet_dir_direct)
+    src = str(tmp_path_factory.mktemp("dsrc"))
+    out = str(tmp_path_factory.mktemp("dout"))
+    df = token_table(spark, 100, seed=24).cache()
+    n_tok_total = df.agg(F.sum("n_tok")).collect()[0][0]
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    s1 = encode_parquet_dir_direct(spark, src, out, CFG)
+    assert s1["n_docs"] == 100 and 0 < s1["ratio"] < 1.0
+    # decoded totals match the source exactly
+    row = (decode_parquet_dir_summary(spark, out)
+           .agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0])
+    assert tuple(row) == (100, n_tok_total)
+    # full bit-identity through the standard reader too
+    from rle_spark.engine import read_encoded
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded) == 0
+
+    # re-run overwrites the same task files: no duplicates, same totals
+    s2 = encode_parquet_dir_direct(spark, src, out, CFG)
+    assert s2["n_docs"] == 100 and s2["comp_bytes"] == s1["comp_bytes"]
+    decoded2 = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded2) == 0
+    import glob
+    assert not glob.glob(os.path.join(out, "blocks", ".part-*"))  # no tmp left
+    df.unpersist()
