@@ -39,6 +39,14 @@ def parse_args(argv):
                         " scan splits (source-clustered input)")
     p.add_argument("--codecs", default="",
                    help="comma-separated allow-list (default: all)")
+    p.add_argument("--transport", choices=["dataframe", "files"],
+                   default="dataframe",
+                   help="files: tasks read their own parquet row groups"
+                        " with pyarrow and write blocks python-side"
+                        " (rle_spark.sources — fastest for full-scan"
+                        " encode of a source-clustered corpus);"
+                        " dataframe: the Catalyst scan path"
+                        " (re-clustering, resume by bucket)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--local-cpus", type=int, default=0,
                    help="run on local[N] instead of an existing session")
@@ -68,9 +76,14 @@ def main(argv=None):
             effort=args.effort,
             allow=[c for c in args.codecs.split(",") if c]),
     )
-    df = spark.read.parquet(args.input)
-    summary = encode_table(spark, df, args.output, cfg,
-                           resume=not args.no_resume)
+    if args.transport == "files":
+        from rle_spark.sources import encode_parquet_dir_direct
+        summary = encode_parquet_dir_direct(spark, args.input, args.output,
+                                            cfg, resume=not args.no_resume)
+    else:
+        df = spark.read.parquet(args.input)
+        summary = encode_table(spark, df, args.output, cfg,
+                               resume=not args.no_resume)
     print(json.dumps(summary))
     return 0
 

@@ -139,7 +139,8 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                               out_dir: str,
                               cfg: EngineConfig | None = None,
                               target_split_bytes: int = 128 << 20,
-                              n_tasks: int | None = None) -> dict:
+                              n_tasks: int | None = None,
+                              resume: bool = False) -> dict:
     """Full encode job with PYTHON-SIDE block writes: each task streams
     its encoded block batches into its own parquet file
     (blocks/part-<task>.parquet, written atomically via temp+rename)
@@ -150,12 +151,44 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     only aggregates manifests. Deterministic task file names make a
     re-run (or a speculative duplicate attempt) overwrite, not
     duplicate. The manifest is rebuilt from the committed files like
-    every other path."""
+    every other path.
+
+    resume=True: an interrupted job (executor/driver loss mid-write)
+    re-runs skipping every task whose committed file already exists —
+    only uncommitted tasks redo work. Soundness guard: the split plan
+    (units + task count) is fingerprinted in <out>/encode_plan.json;
+    if the recorded plan differs (input grew, task count changed), the
+    task->file mapping is stale, so the job falls back to a clean
+    rewrite instead of silently mixing layouts."""
+    import hashlib
+    import json
     cfg = cfg or EngineConfig(layout="mapside")
     blocks_dir = os.path.join(out_dir, "blocks")
     os.makedirs(blocks_dir, exist_ok=True)
     inner = _file_encode_iter(cfg)
     codec = cfg.parquet_codec
+
+    units = plan_parquet_splits(src_dir, target_split_bytes)
+    if n_tasks is None:
+        n_tasks = max(1, spark.sparkContext.defaultParallelism * 3)
+    n_tasks = min(n_tasks, max(len(units), 1))
+    plan_sig = hashlib.sha256(
+        json.dumps([units, n_tasks, cfg.block_tokens]).encode()).hexdigest()
+    plan_path = os.path.join(out_dir, "encode_plan.json")
+    prev_sig = None
+    if os.path.exists(plan_path):
+        try:
+            prev_sig = json.load(open(plan_path)).get("sig")
+        except (ValueError, OSError):
+            prev_sig = None
+    if not (resume and prev_sig == plan_sig):
+        # clean rewrite: drop every stale part/tmp file
+        for f in glob.glob(os.path.join(blocks_dir, "*.parquet")) + \
+                glob.glob(os.path.join(blocks_dir, ".part-*")):
+            os.remove(f)
+    with open(plan_path, "w") as fh:
+        json.dump({"sig": plan_sig, "n_tasks": n_tasks,
+                   "n_units": len(units)}, fh)
 
     def it(batches):
         import pyarrow as pa
@@ -165,30 +198,41 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
         pid = tc.partitionId() if tc is not None else 0
         tmp = os.path.join(blocks_dir, f".part-{pid:05d}.parquet.tmp")
         final = os.path.join(blocks_dir, f"part-{pid:05d}.parquet")
-        writer = None
         n_blocks = n_docs = n_tokens = orig = comp = 0
-        try:
-            for rb in inner(batches):
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, rb.schema,
-                                              compression=codec)
-                writer.write_batch(rb)
-                n_blocks += rb.num_rows
-                n_docs += sum(rb.column("n_docs").to_pylist())
-                n_tokens += sum(rb.column("n_tokens").to_pylist())
-                orig += sum(rb.column("orig_bytes").to_pylist())
-                comp += sum(rb.column("comp_bytes").to_pylist())
-        finally:
+        if os.path.exists(final):
+            # committed by a previous attempt: report its totals, skip
+            t = pq.read_table(final, columns=["n_docs", "n_tokens",
+                                              "orig_bytes", "comp_bytes"])
+            n_blocks = t.num_rows
+            n_docs = int(sum(t.column("n_docs").to_pylist()))
+            n_tokens = int(sum(t.column("n_tokens").to_pylist()))
+            orig = int(sum(t.column("orig_bytes").to_pylist()))
+            comp = int(sum(t.column("comp_bytes").to_pylist()))
+            for _ in batches:
+                pass  # drain without reading source data
+        else:
+            writer = None
+            try:
+                for rb in inner(batches):
+                    if writer is None:
+                        writer = pq.ParquetWriter(tmp, rb.schema,
+                                                  compression=codec)
+                    writer.write_batch(rb)
+                    n_blocks += rb.num_rows
+                    n_docs += sum(rb.column("n_docs").to_pylist())
+                    n_tokens += sum(rb.column("n_tokens").to_pylist())
+                    orig += sum(rb.column("orig_bytes").to_pylist())
+                    comp += sum(rb.column("comp_bytes").to_pylist())
+            finally:
+                if writer is not None:
+                    writer.close()
             if writer is not None:
-                writer.close()
-        if writer is not None:
-            os.replace(tmp, final)  # atomic commit of this task's file
+                os.replace(tmp, final)  # atomic commit of this task's file
         yield pa.record_batch(
             [pa.array([x], pa.int64()) for x in
              (n_blocks, n_docs, n_tokens, orig, comp)],
             names=["n_blocks", "n_docs", "n_tokens", "orig", "comp"])
 
-    units = plan_parquet_splits(src_dir, target_split_bytes)
     if units:
         splits = _split_df(spark, units, n_tasks)
         totals = (splits.mapInArrow(

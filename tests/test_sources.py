@@ -94,3 +94,46 @@ def test_direct_writer_roundtrip_and_idempotence(spark, tmp_path_factory):
     import glob
     assert not glob.glob(os.path.join(out, "blocks", ".part-*"))  # no tmp left
     df.unpersist()
+
+
+def test_direct_writer_resume_skips_committed_tasks(spark, tmp_path_factory):
+    """Executor-loss recovery: delete one committed task file, resume —
+    only that task re-encodes (other files untouched by mtime), totals
+    and roundtrip unchanged. A changed plan falls back to clean rewrite."""
+    import glob
+    import time as _time
+    from rle_spark.sources import encode_parquet_dir_direct
+    src = str(tmp_path_factory.mktemp("rsrc"))
+    out = str(tmp_path_factory.mktemp("rout"))
+    df = token_table(spark, 90, seed=25).cache()
+    df.count()
+    df.repartition(6).write.mode("overwrite").parquet(src)
+
+    s1 = encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=6)
+    parts = sorted(glob.glob(os.path.join(out, "blocks", "part-*.parquet")))
+    assert len(parts) >= 2
+    victim = parts[0]
+    survivors = {p: os.path.getmtime(p) for p in parts[1:]}
+    os.remove(victim)
+    _time.sleep(0.05)
+
+    s2 = encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=6,
+                                   resume=True)
+    assert s2["n_docs"] == s1["n_docs"] == 90
+    assert s2["comp_bytes"] == s1["comp_bytes"]
+    assert os.path.exists(victim)  # re-written
+    for p, mt in survivors.items():
+        assert os.path.getmtime(p) == mt  # untouched
+    from rle_spark.engine import read_encoded
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded) == 0
+
+    # plan change (different task count) -> stale mapping -> clean rewrite
+    s3 = encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=3,
+                                   resume=True)
+    assert s3["n_docs"] == 90
+    parts3 = glob.glob(os.path.join(out, "blocks", "part-*.parquet"))
+    assert len(parts3) <= 3  # no stale 6-task files left behind
+    decoded3 = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded3) == 0
+    df.unpersist()
