@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": Q.q_langid_counts,
         "doc_fingerprint": Q.q_doc_fingerprint,
         # similarity
+        "embedding_quantize": Q.q_embedding_quantize,
         "ann_topk": Q.q_ann_topk,
         "ivf_topk": Q.q_ivf_topk,
         "cosine_near_dup": Q.q_cosine_near_dup,
@@ -362,8 +363,10 @@ def oracle_sql() -> dict[str, str]:
                  i -> md5(substr(text, i, 32)))) AS fingerprint
       FROM documents ORDER BY doc_id"""
 
-    from rle_spark.similarity import cosine_near_dup_oracle_sql, ivf_oracle_sql
+    from rle_spark.similarity import (cosine_near_dup_oracle_sql,
+                                      ivf_oracle_sql, quantize_oracle_sql)
     sql["cosine_near_dup"] = cosine_near_dup_oracle_sql()
+    sql["embedding_quantize"] = quantize_oracle_sql()
 
     # IVF quantizer + query vector are frozen from the sf0.01 training
     # file on both sides; the query scans whichever sf is under test

@@ -50,7 +50,8 @@ HEADLINE = [
     "column_codec_stats",
     "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
     "near_dup_buckets", "ngram_jaccard_pairs", "doc_fingerprint",
-    "quality_by_source", "langid_counts", "ann_topk", "ivf_topk",
+    "quality_by_source", "langid_counts", "embedding_quantize",
+    "ann_topk", "ivf_topk",
     "cosine_near_dup", "streaming_backfill", "multimodal_features",
     "pricing_summary", "revenue_by_nation", "token_runs_by_source",
 ]

@@ -153,6 +153,11 @@ def q_langid_counts(spark, sf_dir):
 # --- similarity ---------------------------------------------------------
 
 
+def q_embedding_quantize(spark, sf_dir):
+    return (similarity.quantize_summary(_t(spark, sf_dir, "embeddings"))
+            .orderBy("vec_id"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]

@@ -221,6 +221,78 @@ def cosine_near_dup_oracle_sql(min_pct: int = NEAR_DUP_MIN_PCT,
 
 
 # ---------------------------------------------------------------------------
+# embedding compression: symmetric int8 quantization
+# ---------------------------------------------------------------------------
+#
+# The engine's lightweight-compression story applied to the embedding
+# column: 4x smaller storage (float32 -> int8 + one scale), bounded
+# error |x - q*scale| <= scale/2, pure codegen expressions (no UDF).
+# Deterministic across engines: max() is order-independent, IEEE double
+# division is exact, and rounding is floor(x/scale + 0.5) explicitly
+# (SQL ROUND differs between Spark's HALF_UP and DuckDB's semantics).
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, scale double, qvec array<int>) with q in [-127, 127].
+
+    scale = max|x| / 127 per vector; zero vectors quantize to zeros
+    with scale 0 (dequantize handles it)."""
+    x = F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+    maxabs = F.array_max(x)
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    q = F.when(maxabs == 0.0,
+               F.transform(F.col(vec_col), lambda v: F.lit(0))).otherwise(
+        F.transform(F.col(vec_col),
+                    lambda v: F.floor(v.cast("double") * F.lit(127.0)
+                                      / maxabs + F.lit(0.5)).cast("int")))
+    return emb.select(F.col(id_col).alias("vec_id"), scale, q.alias("qvec"))
+
+
+def dequantize_expr(qvec, scale):
+    """array<double> back from (qvec, scale) — error <= scale/2/elem."""
+    return F.transform(qvec, lambda v: v.cast("double") * scale)
+
+
+def quantize_summary(emb: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Oracle-checkable per-vector digest of the quantization: scale
+    (rounded) plus sum/min/max of the int8 codes — any drift in the
+    quantizer math shows up as a value mismatch."""
+    qt = quantize_embeddings(emb, vec_col, id_col)
+    s = F.aggregate("qvec", F.lit(0).cast("long"), lambda a, v: a + v)
+    return qt.select(
+        "vec_id", F.round(F.col("scale"), 6).alias("scale_r6"),
+        s.alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"))
+
+
+def quantize_oracle_sql() -> str:
+    """DuckDB twin of quantize_summary over the embeddings view."""
+    return """
+      WITH m AS (SELECT vec_id,
+                        list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS maxabs,
+                        embedding
+                 FROM embeddings),
+      q AS (SELECT vec_id, maxabs / 127.0 AS scale,
+                   CASE WHEN maxabs = 0 THEN
+                     list_transform(embedding, v -> 0)
+                   ELSE
+                     list_transform(embedding, v ->
+                       CAST(floor(CAST(v AS DOUBLE) * 127.0 / maxabs
+                                  + 0.5) AS INT))
+                   END AS qvec
+            FROM m)
+      SELECT vec_id, round(scale, 6) AS scale_r6,
+             CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+             CAST(list_min(qvec) AS INT) AS q_min,
+             CAST(list_max(qvec) AS INT) AS q_max
+      FROM q ORDER BY vec_id"""
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 

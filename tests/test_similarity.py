@@ -83,3 +83,41 @@ def test_near_dup_auto_planes_runs(spark, emb):
     df = S.cosine_near_dup(emb, n_planes=None)
     assert df.columns == ["vec_a", "vec_b", "cos_pct"]
     assert df.count() >= 0
+
+
+def test_quantize_roundtrip_error_bound(spark, emb):
+    """|x - q*scale| <= scale/2 per element, q in [-127, 127]."""
+    import numpy as np
+    qt = S.quantize_embeddings(emb).collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    assert len(qt) == len(orig)
+    for r in qt:
+        x = orig[r.vec_id]
+        q = np.asarray(r.qvec, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        if r.scale == 0.0:
+            assert not q.any()
+            continue
+        err = np.abs(x - q * r.scale)
+        assert float(err.max()) <= r.scale / 2 + 1e-12
+
+
+def test_quantized_cosine_recall(spark, emb):
+    """Quantized vectors keep exact-cosine top-10 recall high."""
+    import numpy as np
+    X = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+         for r in emb.collect()}
+    qv = X[0]
+
+    def topk(vecs, k=10):
+        sims = {i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+                for i, v in vecs.items()}
+        return [i for i, _ in sorted(sims.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+    exact = set(topk(X))
+    deq = {r.vec_id: np.asarray(r.qvec, dtype=np.float64) * r.scale
+           for r in S.quantize_embeddings(emb).collect()}
+    approx = set(topk(deq))
+    assert len(exact & approx) >= 8  # >= 0.8 recall at k=10
