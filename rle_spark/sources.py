@@ -251,6 +251,36 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
             "n_docs": int(totals["d"] or 0)}
 
 
+def decode_parquet_dir(spark: SparkSession, out_dir: str,
+                       n_tasks: int | None = None) -> DataFrame:
+    """Decoded (doc_id, tokens) DataFrame over the file transport:
+    tasks read their own block files with pyarrow and run the standard
+    decode kernel (engine._decode_iter) — the file-source twin of
+    engine.decode_dataframe(read_encoded(...))."""
+    from .engine import _decode_iter
+
+    def it(batches):
+        import pyarrow.parquet as pq
+
+        def gen():
+            for rb in batches:
+                for path, g0, g1 in zip(rb.column("path").to_pylist(),
+                                        rb.column("rg0").to_pylist(),
+                                        rb.column("rg1").to_pylist()):
+                    pf = pq.ParquetFile(path)
+                    yield from pf.iter_batches(
+                        batch_size=64, row_groups=list(range(g0, g1)),
+                        columns=["payload", "doc_ids", "doc_lens"])
+        yield from _decode_iter(gen())
+
+    units = plan_parquet_splits(os.path.join(out_dir, "blocks"))
+    if not units:
+        from .blocks import DECODED_SCHEMA_DDL
+        return spark.createDataFrame([], DECODED_SCHEMA_DDL)
+    from .blocks import DECODED_SCHEMA_DDL
+    return _split_df(spark, units, n_tasks).mapInArrow(it, DECODED_SCHEMA_DDL)
+
+
 def decode_parquet_dir_summary(spark: SparkSession, out_dir: str,
                                n_tasks: int | None = None) -> DataFrame:
     """Decode every committed block with the standard kernels, tasks

@@ -137,3 +137,16 @@ def test_direct_writer_resume_skips_committed_tasks(spark, tmp_path_factory):
     decoded3 = decode_dataframe(read_encoded(spark, out))
     assert roundtrip_mismatch_count(df, decoded3) == 0
     df.unpersist()
+
+
+def test_decode_parquet_dir_full(spark, tmp_path_factory):
+    from rle_spark.sources import decode_parquet_dir, encode_parquet_dir_direct
+    src = str(tmp_path_factory.mktemp("ddsrc"))
+    out = str(tmp_path_factory.mktemp("ddout"))
+    df = token_table(spark, 70, seed=26).cache()
+    df.count()
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    encode_parquet_dir_direct(spark, src, out, CFG)
+    decoded = decode_parquet_dir(spark, out)
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
