@@ -74,6 +74,34 @@ def encode_stream(spark: SparkSession, input_path: str, out_dir: str,
     return writer.start()
 
 
+def compact_blocks(spark: SparkSession, out_dir: str,
+                   target_bytes: int = 256 << 20) -> int:
+    """Rewrite the (possibly many small) epoch-scoped block files into
+    ~target_bytes parquet files — the periodic maintenance pass every
+    streaming-ingest table needs (each micro-batch epoch leaves its own
+    small files; at 100 TB the file count, not the byte count, is what
+    kills scan planning). Block rows are carried verbatim (same
+    block_id/payload — decode output is bit-identical); the swap is
+    staged in a sibling directory and the manifest rebuilt afterwards.
+    Returns the number of files after compaction."""
+    import shutil
+    blocks_path = os.path.join(out_dir, "blocks")
+    staged = os.path.join(out_dir, "_blocks_compacting")
+    old = os.path.join(out_dir, "_blocks_old")
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(blocks_path) for f in fs)
+    n_files = max(1, (total + target_bytes - 1) // target_bytes)
+    (spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
+     .repartition(int(n_files))
+     .write.mode("overwrite").parquet(staged))
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(blocks_path, old)
+    os.replace(staged, blocks_path)
+    shutil.rmtree(old, ignore_errors=True)
+    refresh_manifest(spark, out_dir)
+    return sum(1 for f in os.listdir(blocks_path) if f.endswith(".parquet"))
+
+
 def encode_stream_backfill(spark: SparkSession, input_path: str,
                            out_dir: str,
                            cfg: EngineConfig | None = None) -> dict:

@@ -93,3 +93,41 @@ def test_encode_stream_forces_mapside_layout(spark, tmp_path_factory):
     decoded = decode_dataframe(read_encoded(spark, out))
     assert roundtrip_mismatch_count(df, decoded) == 0
     df.unpersist()
+
+
+def test_compact_blocks_preserves_data(spark, tmp_path_factory):
+    """Compaction rewrites epoch files into few big ones; decode stays
+    bit-identical and the manifest totals unchanged."""
+    import glob
+    from rle_spark.streaming import compact_blocks
+
+    src = str(tmp_path_factory.mktemp("cmp_src"))
+    out = str(tmp_path_factory.mktemp("cmp_out"))
+    w1 = token_table(spark, 60, seed=31).cache()
+    w1.count()
+    w1.write.mode("overwrite").parquet(src)
+    encode_stream_backfill(spark, src, out, CFG)
+    w2 = (token_table(spark, 30, seed=32)
+          .withColumn("doc_id", F.concat(F.lit("w2-"), F.col("doc_id")))).cache()
+    w2.count()
+    w2.write.mode("append").parquet(src)
+    encode_stream_backfill(spark, src, out, CFG)
+
+    before_files = glob.glob(os.path.join(out, "blocks", "**", "*.parquet"),
+                             recursive=True)
+    man0 = spark.read.parquet(os.path.join(out, "manifest")).agg(
+        F.sum("n_docs"), F.sum("n_tokens"), F.sum("comp_bytes")).collect()[0]
+
+    n_after = compact_blocks(spark, out, target_bytes=1 << 30)
+    after_files = glob.glob(os.path.join(out, "blocks", "**", "*.parquet"),
+                            recursive=True)
+    assert n_after == len(after_files) < len(before_files)
+
+    man1 = spark.read.parquet(os.path.join(out, "manifest")).agg(
+        F.sum("n_docs"), F.sum("n_tokens"), F.sum("comp_bytes")).collect()[0]
+    assert tuple(man0) == tuple(man1)
+    both = w1.unionByName(w2)
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(both, decoded) == 0
+    w1.unpersist()
+    w2.unpersist()
