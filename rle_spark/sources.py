@@ -182,13 +182,17 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
         except (ValueError, OSError):
             prev_sig = None
     if not (resume and prev_sig == plan_sig):
-        # clean rewrite: drop every stale part/tmp file
-        for f in glob.glob(os.path.join(blocks_dir, "*.parquet")) + \
-                glob.glob(os.path.join(blocks_dir, ".part-*")):
+        # clean rewrite: drop every stale part/tmp/lineage file
+        for f in (glob.glob(os.path.join(blocks_dir, "*.parquet"))
+                  + glob.glob(os.path.join(blocks_dir, ".part-*"))
+                  + glob.glob(os.path.join(out_dir, "lineage", "*"))):
             os.remove(f)
     with open(plan_path, "w") as fh:
         json.dump({"sig": plan_sig, "n_tasks": n_tasks,
                    "n_units": len(units)}, fh)
+
+    lineage_dir = os.path.join(out_dir, "lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
 
     def it(batches):
         import pyarrow as pa
@@ -198,6 +202,17 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
         pid = tc.partitionId() if tc is not None else 0
         tmp = os.path.join(blocks_dir, f".part-{pid:05d}.parquet.tmp")
         final = os.path.join(blocks_dir, f"part-{pid:05d}.parquet")
+        consumed: list[list] = []
+
+        def tee(bs):
+            for rb in bs:
+                consumed.extend(
+                    [p, int(a), int(b)] for p, a, b in
+                    zip(rb.column("path").to_pylist(),
+                        rb.column("rg0").to_pylist(),
+                        rb.column("rg1").to_pylist()))
+                yield rb
+
         n_blocks = n_docs = n_tokens = orig = comp = 0
         if os.path.exists(final):
             # committed by a previous attempt: report its totals, skip
@@ -213,7 +228,7 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
         else:
             writer = None
             try:
-                for rb in inner(batches):
+                for rb in inner(tee(batches)):
                     if writer is None:
                         writer = pq.ParquetWriter(tmp, rb.schema,
                                                   compression=codec)
@@ -228,6 +243,20 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                     writer.close()
             if writer is not None:
                 os.replace(tmp, final)  # atomic commit of this task's file
+                # per-task LINEAGE: which input splits produced this
+                # file, plus its metrics — the audit/incremental-
+                # recompute record the north rule's "per-partition
+                # lineage + metrics" asks for (atomic like the data)
+                import json as _json
+                ltmp = os.path.join(lineage_dir, f".part-{pid:05d}.tmp")
+                with open(ltmp, "w") as fh:
+                    _json.dump({"file": os.path.basename(final),
+                                "splits": consumed,
+                                "n_blocks": n_blocks, "n_docs": n_docs,
+                                "n_tokens": n_tokens, "orig_bytes": orig,
+                                "comp_bytes": comp}, fh)
+                os.replace(ltmp,
+                           os.path.join(lineage_dir, f"part-{pid:05d}.json"))
         yield pa.record_batch(
             [pa.array([x], pa.int64()) for x in
              (n_blocks, n_docs, n_tokens, orig, comp)],

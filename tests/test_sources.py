@@ -150,3 +150,27 @@ def test_decode_parquet_dir_full(spark, tmp_path_factory):
     decoded = decode_parquet_dir(spark, out)
     assert roundtrip_mismatch_count(df, decoded) == 0
     df.unpersist()
+
+
+def test_direct_writer_lineage(spark, tmp_path_factory):
+    """Every committed task file carries a lineage record naming the
+    exact input splits it consumed; metrics sum to the job summary and
+    split coverage equals the plan."""
+    import glob
+    import json
+    from rle_spark.sources import encode_parquet_dir_direct, plan_parquet_splits
+    src = str(tmp_path_factory.mktemp("lsrc"))
+    out = str(tmp_path_factory.mktemp("lout"))
+    df = token_table(spark, 60, seed=27)
+    df.repartition(5).write.mode("overwrite").parquet(src)
+    s = encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=5)
+    recs = [json.load(open(p))
+            for p in glob.glob(os.path.join(out, "lineage", "*.json"))]
+    assert recs
+    assert sum(r["n_docs"] for r in recs) == s["n_docs"]
+    assert sum(r["comp_bytes"] for r in recs) == s["comp_bytes"]
+    covered = {tuple(sp) for r in recs for sp in r["splits"]}
+    planned = {(p, g0, g1) for p, g0, g1 in plan_parquet_splits(src)}
+    assert covered == planned
+    for r in recs:
+        assert os.path.exists(os.path.join(out, "blocks", r["file"]))
