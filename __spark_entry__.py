@@ -93,7 +93,8 @@ def _ref_rle8_sql(col: str) -> str:
               + 11 AS BIGINT) AS model_bytes
     FROM (
       SELECT len, rng,
-             ((rng <= 255) OR len >= 11) AS emitted,
+             -- long-form emit threshold = refmodel._min_long(1) = 12
+             ((rng <= 255) OR len >= 12) AS emitted,
              1 + (CASE WHEN len - 4 <= 255 THEN 1 ELSE 5 END)
                + (CASE WHEN rng <= 255 THEN 1 ELSE 5 END) AS cmd
       FROM (
@@ -314,8 +315,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT asset_id, modality,
              CAST(gt_n_bytes AS BIGINT) AS n_bytes,
              gt_md5 AS content_md5,
-             gt_mean_r6 AS mean_level_r6,
-             gt_entropy_r6 AS byte_entropy_r6
+             gt_mean AS mean_level,
+             gt_entropy AS byte_entropy
       FROM '{asset_path}' ORDER BY asset_id"""
 
     sql["dedup_exact"] = """

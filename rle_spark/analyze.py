@@ -33,7 +33,40 @@ from pyspark.storagelevel import StorageLevel
 from .codecs.base import bit_width, find_runs
 
 _ELIG_MIN = 5   # min_short for sym_bytes=1: 1+1+1+2 (refmodel._min_short)
-_LONG_MIN = 11  # min_long  for sym_bytes=1: 1+1+4+4+1 (refmodel._min_long)
+_LONG_MIN = 12  # min_long  for sym_bytes=1: 1+1+4+4+2 (refmodel._min_long)
+
+# Persisted intermediates (the run kernels must pin their output so the
+# boundary collect and the downstream consumer see the SAME range
+# partitioning). Queries that return lazy DataFrames keep theirs alive
+# for the session (Spark evicts LRU-to-disk); fully-consuming queries
+# release theirs via _release_persists_after. clear_run_cache() frees
+# everything between analyses in long sessions.
+_PERSIST_POOL: list = []
+
+
+def clear_run_cache() -> None:
+    """Unpersist every intermediate the analyze kernels have pinned.
+    Only call when no DataFrame returned by this module is still in
+    use — a recompute after eviction would re-sample range boundaries
+    and desynchronize the already-merged offsets."""
+    for cached in _PERSIST_POOL:
+        cached.unpersist()
+    _PERSIST_POOL.clear()
+
+
+class _release_persists_after:
+    """Context manager: unpersist only the intermediates pinned inside
+    the block (for queries that fully consume them before returning)."""
+
+    def __enter__(self):
+        self.i0 = len(_PERSIST_POOL)
+        return self
+
+    def __exit__(self, *exc):
+        for cached in _PERSIST_POOL[self.i0:]:
+            cached.unpersist()
+        del _PERSIST_POOL[self.i0:]
+        return False
 
 
 def _as_comparable(a: np.ndarray) -> np.ndarray:
@@ -136,6 +169,7 @@ def partition_runs_multi(df: DataFrame, cols: list[str],
 
     runs_local = (arranged.mapInPandas(it, out_schema)
                   .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSIST_POOL.append(runs_local)
 
     # --- driver-side O(P*C) control flow (the offset-table merge) ---
     boundary = runs_local.filter(F.col("is_first") | F.col("is_last")).collect()
@@ -366,17 +400,18 @@ def ref_rle8_size_v1(df: DataFrame, cols: list[str],
     column's byte stream (codecs.refmodel.ref_rle_size_model_v1),
     computed from ONE distributed multi-column run pass; only the tiny
     candidate-run model passes run per column."""
-    runs = partition_runs_multi(df, cols, order)
-    totals = {r.col_name: int(r.n) for r in
-              runs.groupBy("col_name")
-              .agg(F.sum("run_len").alias("n")).collect()}
-    out = []
-    for c in cols:
-        n_total = totals.get(c, 0)
-        runs_c = (runs.filter(F.col("col_name") == c)
-                  .select("start_rn", "value", "run_len"))
-        out.append((c, int(_ref_model_size(runs_c, n_total))
-                    if n_total else 8))
+    with _release_persists_after():
+        runs = partition_runs_multi(df, cols, order)
+        totals = {r.col_name: int(r.n) for r in
+                  runs.groupBy("col_name")
+                  .agg(F.sum("run_len").alias("n")).collect()}
+        out = []
+        for c in cols:
+            n_total = totals.get(c, 0)
+            runs_c = (runs.filter(F.col("col_name") == c)
+                      .select("start_rn", "value", "run_len"))
+            out.append((c, int(_ref_model_size(runs_c, n_total))
+                        if n_total else 8))
     return df.sparkSession.createDataFrame(
         out, "col_name string, model_bytes long")
 
@@ -413,6 +448,7 @@ def with_global_rn(df: DataFrame, col: str, order: list[str]) -> DataFrame:
 
     base = (arranged.mapInPandas(it, f"pid int, li long, value {vtype}")
             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSIST_POOL.append(base)
     cnts = {r.pid: r.cnt for r in
             base.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -464,7 +500,14 @@ def unaligned_run_histogram(df: DataFrame, col: str, order: list[str],
     — the UNBOUND semantics, /root/reference/src/rleX_extreme_cpu.h:23-35);
     histogram is over covered bytes = matched length + stride. The
     self-equality column is a distributed equi-join on rn (no window);
-    interval extraction rides partition_runs over the boolean flag."""
+    interval extraction rides partition_runs over the boolean flag.
+
+    Known trade: the rn self-join costs two extra row-scale shuffles
+    vs folding an O(stride) carry into the range-partitioned kernel
+    (a doubly-carried variant of partition_runs). Every stage here is
+    still shuffle-parallel — nothing single-partition — so the plan
+    survives scale; the carry variant is the optimization if this
+    secondary analysis ever becomes hot."""
     rn_df = with_global_rn(df, col, order)
     shifted = rn_df.select((F.col("rn") + stride).alias("rn"),
                            F.col("value").alias("prev"))
@@ -496,6 +539,8 @@ def lru_recurrence(df: DataFrame, col: str, order: list[str],
     context and exports its first/last max(K) symbols; the driver
     resolves the O(P*K) boundary rows."""
     max_k = max(ks)
+    release = _release_persists_after()
+    release.__enter__()
     runs = partition_runs(df, col, order).filter(F.col("run_len") >= min_run)
     cand = (runs.select("start_rn", "value")
             .repartitionByRange(F.col("start_rn"))
@@ -534,8 +579,11 @@ def lru_recurrence(df: DataFrame, col: str, order: list[str],
     schema = ("pid int, m long, "
               + ", ".join(f"hits_{k} long" for k in ks)
               + f", head array<{vtype}>, tail array<{vtype}>")
-    parts = sorted(cand.mapInPandas(it, schema).collect(),
-                   key=lambda r: r.pid)
+    try:
+        parts = sorted(cand.mapInPandas(it, schema).collect(),
+                       key=lambda r: r.pid)
+    finally:
+        release.__exit__(None, None, None)
 
     n_runs = sum(r.m for r in parts)
     totals = {k: 0 for k in ks}

@@ -88,7 +88,10 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, ASSET_SCHEMA_DDL)
 
 
-ASSET_FIXTURE_PATH = "/tmp/rle_spark_assets.parquet"
+# version suffix: regenerates automatically when the fixture schema or
+# ground-truth definition changes (a stale cached file would otherwise
+# short-circuit generation forever)
+ASSET_FIXTURE_PATH = "/tmp/rle_spark_assets_v2.parquet"
 ASSET_FIXTURE_N = 120
 
 
@@ -118,8 +121,7 @@ def ensure_asset_parquet(path: str = ASSET_FIXTURE_PATH,
         return path
     rows: dict[str, list] = {k: [] for k in (
         "asset_id", "modality", "payload", "width", "height", "n_frames",
-        "sample_rate", "gt_n_bytes", "gt_md5", "gt_mean_r6",
-        "gt_entropy_r6")}
+        "sample_rate", "gt_n_bytes", "gt_md5", "gt_mean", "gt_entropy")}
     for i in range(n):
         rng = np.random.default_rng([seed, i])
         modality = ["image", "audio", "video"][i % 3]
@@ -138,10 +140,14 @@ def ensure_asset_parquet(path: str = ASSET_FIXTURE_PATH,
         rows["height"].append(h)
         rows["n_frames"].append(frames)
         rows["sample_rate"].append(sr)
+        # RAW doubles, no pre-rounding: the Spark query recomputes the
+        # same numpy math bit-identically, so the gate compares exact
+        # doubles (Python round is banker's, Spark ROUND is HALF_UP —
+        # pre-rounding one side invites boundary flakes)
         rows["gt_n_bytes"].append(n_bytes)
         rows["gt_md5"].append(md5)
-        rows["gt_mean_r6"].append(round(mean, 6))
-        rows["gt_entropy_r6"].append(round(ent, 6))
+        rows["gt_mean"].append(mean)
+        rows["gt_entropy"].append(ent)
     table = pa.table({
         "asset_id": pa.array(rows["asset_id"], pa.string()),
         "modality": pa.array(rows["modality"], pa.string()),
@@ -152,8 +158,8 @@ def ensure_asset_parquet(path: str = ASSET_FIXTURE_PATH,
         "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
         "gt_n_bytes": pa.array(rows["gt_n_bytes"], pa.int64()),
         "gt_md5": pa.array(rows["gt_md5"], pa.string()),
-        "gt_mean_r6": pa.array(rows["gt_mean_r6"], pa.float64()),
-        "gt_entropy_r6": pa.array(rows["gt_entropy_r6"], pa.float64()),
+        "gt_mean": pa.array(rows["gt_mean"], pa.float64()),
+        "gt_entropy": pa.array(rows["gt_entropy"], pa.float64()),
     })
     tmp = f"{path}.tmp{os.getpid()}"
     pq.write_table(table, tmp)

@@ -247,8 +247,13 @@ def q_streaming_backfill(spark, sf_dir):
     from .engine import decode_dataframe, read_encoded
     from .streaming import encode_stream_backfill
 
+    # cache key carries a fingerprint of the source table: regenerated
+    # test data must never replay a stale input/checkpoint silently
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_parquet)
+    sig = f"{st.st_size}_{int(st.st_mtime)}"
     base = os.path.join("/tmp/rle_spark_stream",
-                        os.path.basename(os.path.normpath(sf_dir)))
+                        f"{os.path.basename(os.path.normpath(sf_dir))}_{sig}")
     inp = os.path.join(base, "input")
     out = os.path.join(base, "out")
     toks = textops.tokenize_documents(_t(spark, sf_dir, "documents"))
@@ -278,11 +283,11 @@ def q_multimodal_features(spark, sf_dir):
     assets = spark.read.parquet(path).select("asset_id", "modality",
                                              "payload")
     feats = M.extract_features(assets)
-    return (feats.select(
-        "asset_id", "modality", "n_bytes", "content_md5",
-        F.round(F.col("mean_level"), 6).alias("mean_level_r6"),
-        F.round(F.col("byte_entropy"), 6).alias("byte_entropy_r6"))
-        .orderBy("asset_id"))
+    # raw doubles: bit-identical to the generation-time numpy math, so
+    # no engine-specific rounding semantics enter the comparison
+    return (feats.select("asset_id", "modality", "n_bytes", "content_md5",
+                         "mean_level", "byte_entropy")
+            .orderBy("asset_id"))
 
 
 def q_ivf_topk(spark, sf_dir):

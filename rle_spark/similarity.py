@@ -491,8 +491,14 @@ def ivf_topk_via_index(spark, sf_dir: str, cache_root: str = "/tmp/rle_spark_ivf
     ivf_topk_frozen: assignment expressions are the same, evaluated at
     write time instead of query time."""
     import os
+    # fingerprint the source table in the cache key so a regenerated
+    # embeddings file can never serve a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     index_path = os.path.join(
-        cache_root, os.path.basename(os.path.normpath(sf_dir)))
+        cache_root,
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{int(st.st_mtime)}")
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         ivf_write_index(emb, index_path, train_path, n_lists)

@@ -172,8 +172,15 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     if n_tasks is None:
         n_tasks = max(1, spark.sparkContext.defaultParallelism * 3)
     n_tasks = min(n_tasks, max(len(units), 1))
+    # defaultParallelism is part of the fingerprint: createDataFrame's
+    # initial slicing feeds the round-robin repartition, so the same
+    # (units, n_tasks) on a different-sized session yields a DIFFERENT
+    # task->split assignment — resuming across that would skip and
+    # duplicate splits silently
     plan_sig = hashlib.sha256(
-        json.dumps([units, n_tasks, cfg.block_tokens]).encode()).hexdigest()
+        json.dumps([units, n_tasks, cfg.block_tokens,
+                    spark.sparkContext.defaultParallelism]).encode()
+    ).hexdigest()
     plan_path = os.path.join(out_dir, "encode_plan.json")
     prev_sig = None
     if os.path.exists(plan_path):
@@ -181,10 +188,12 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
             prev_sig = json.load(open(plan_path)).get("sig")
         except (ValueError, OSError):
             prev_sig = None
+    # uncommitted attempt tmps are garbage under any plan
+    for f in glob.glob(os.path.join(blocks_dir, ".part-*")):
+        os.remove(f)
     if not (resume and prev_sig == plan_sig):
-        # clean rewrite: drop every stale part/tmp/lineage file
+        # clean rewrite: drop every stale part/lineage file
         for f in (glob.glob(os.path.join(blocks_dir, "*.parquet"))
-                  + glob.glob(os.path.join(blocks_dir, ".part-*"))
                   + glob.glob(os.path.join(out_dir, "lineage", "*"))):
             os.remove(f)
     with open(plan_path, "w") as fh:
@@ -200,7 +209,12 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
         from pyspark import TaskContext
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        tmp = os.path.join(blocks_dir, f".part-{pid:05d}.parquet.tmp")
+        # attempt-scoped tmp name: a speculative/zombie duplicate attempt
+        # must never write into the same tmp file the live attempt is
+        # streaming to; whichever attempt finishes last commits its OWN
+        # complete file via the atomic rename
+        attempt = tc.taskAttemptId() if tc is not None else 0
+        tmp = os.path.join(blocks_dir, f".part-{pid:05d}.{attempt}.tmp")
         final = os.path.join(blocks_dir, f"part-{pid:05d}.parquet")
         consumed: list[list] = []
 

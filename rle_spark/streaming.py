@@ -81,13 +81,27 @@ def compact_blocks(spark: SparkSession, out_dir: str,
     streaming-ingest table needs (each micro-batch epoch leaves its own
     small files; at 100 TB the file count, not the byte count, is what
     kills scan planning). Block rows are carried verbatim (same
-    block_id/payload — decode output is bit-identical); the swap is
-    staged in a sibling directory and the manifest rebuilt afterwards.
-    Returns the number of files after compaction."""
+    block_id/payload — decode output is bit-identical).
+
+    Layout: compacted files land under the RESERVED partition
+    blocks/epoch=-1 (real epoch ids are >= 0), so the directory keeps a
+    pure epoch-partitioned structure and later micro-batches writing
+    blocks/epoch=K never create the mixed flat-file/partition-dir
+    layout Spark's partition discovery rejects; repeated compactions
+    fold everything back into epoch=-1. Run only while the stream is
+    stopped with its checkpoint committed — a replay of an epoch whose
+    files were just compacted would re-add its docs. The swap stages
+    the new data in a dot-directory readers ignore and drops a
+    _COMPACTING marker across the non-atomic window (crash recovery:
+    if the marker exists, promote blocks/.compact_new to epoch=-1 and
+    delete _blocks_old). Returns the number of files after compaction.
+    """
     import shutil
     blocks_path = os.path.join(out_dir, "blocks")
     staged = os.path.join(out_dir, "_blocks_compacting")
+    hidden_new = os.path.join(blocks_path, ".compact_new")
     old = os.path.join(out_dir, "_blocks_old")
+    marker = os.path.join(out_dir, "_COMPACTING")
     total = sum(os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(blocks_path) for f in fs)
     n_files = max(1, (total + target_bytes - 1) // target_bytes)
@@ -95,11 +109,20 @@ def compact_blocks(spark: SparkSession, out_dir: str,
      .repartition(int(n_files))
      .write.mode("overwrite").parquet(staged))
     shutil.rmtree(old, ignore_errors=True)
-    os.replace(blocks_path, old)
-    os.replace(staged, blocks_path)
+    shutil.rmtree(hidden_new, ignore_errors=True)
+    os.replace(staged, hidden_new)  # hidden: readers ignore dot-dirs
+    open(marker, "w").close()
+    os.makedirs(old, exist_ok=True)
+    for entry in os.listdir(blocks_path):
+        if not entry.startswith((".", "_")):
+            os.replace(os.path.join(blocks_path, entry),
+                       os.path.join(old, entry))
+    os.replace(hidden_new, os.path.join(blocks_path, "epoch=-1"))
+    os.remove(marker)
     shutil.rmtree(old, ignore_errors=True)
     refresh_manifest(spark, out_dir)
-    return sum(1 for f in os.listdir(blocks_path) if f.endswith(".parquet"))
+    return sum(1 for _dp, _dn, fs in os.walk(blocks_path)
+               for f in fs if f.endswith(".parquet"))
 
 
 def encode_stream_backfill(spark: SparkSession, input_path: str,

@@ -129,5 +129,17 @@ def test_compact_blocks_preserves_data(spark, tmp_path_factory):
     both = w1.unionByName(w2)
     decoded = decode_dataframe(read_encoded(spark, out))
     assert roundtrip_mismatch_count(both, decoded) == 0
+
+    # a post-compaction micro-batch must coexist with the compacted
+    # layout (epoch=-1 + new epoch=K dirs, no mixed-structure failure)
+    w3 = (token_table(spark, 20, seed=33)
+          .withColumn("doc_id", F.concat(F.lit("w3-"), F.col("doc_id")))).cache()
+    w3.count()
+    w3.write.mode("append").parquet(src)
+    encode_stream_backfill(spark, src, out, CFG)
+    all3 = both.unionByName(w3)
+    decoded3 = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(all3, decoded3) == 0
     w1.unpersist()
     w2.unpersist()
+    w3.unpersist()
