@@ -50,10 +50,25 @@ def plan_parquet_splits(src_dir: str,
                         target_bytes: int = 128 << 20) -> list[tuple[str, int, int]]:
     """Driver-side split planning: group each file's row groups into
     ~target_bytes units (metadata-only reads — the driver never touches
-    data pages; at 100 TB this is the Iceberg manifest listing)."""
+    data pages; at 100 TB this is the Iceberg manifest listing).
+
+    Globs recursively so partitioned layouts (the streaming sink's
+    blocks/epoch=K dirs, compacted epoch=-1) plan the same as flat
+    dirs; hidden dot-dirs (staging areas) are skipped by glob itself.
+    A directory with visible entries but zero parquet files raises —
+    silently planning nothing turned a valid table into an empty
+    DataFrame (round-2 advice)."""
     import pyarrow.parquet as pq
     units: list[tuple[str, int, int]] = []
-    for path in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+    files = sorted(glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                             recursive=True))
+    if not files and os.path.isdir(src_dir) and any(
+            not e.startswith((".", "_")) for e in os.listdir(src_dir)):
+        raise ValueError(
+            f"no *.parquet files found under non-empty directory "
+            f"{src_dir!r} (recursive scan) — wrong path or unsupported "
+            f"layout, refusing to plan an empty table")
+    for path in files:
         md = pq.ParquetFile(path).metadata
         cur0, acc = 0, 0
         for i in range(md.num_row_groups):
@@ -176,10 +191,15 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     # initial slicing feeds the round-robin repartition, so the same
     # (units, n_tasks) on a different-sized session yields a DIFFERENT
     # task->split assignment — resuming across that would skip and
-    # duplicate splits silently
+    # duplicate splits silently. The FULL EngineConfig (selector
+    # effort/allow-list, parquet codec, layout, ...) is included too:
+    # resuming after any codec-affecting settings change must take the
+    # clean-rewrite path, not mix blocks encoded under two configs.
+    import dataclasses as _dc
     plan_sig = hashlib.sha256(
-        json.dumps([units, n_tasks, cfg.block_tokens,
-                    spark.sparkContext.defaultParallelism]).encode()
+        json.dumps([units, n_tasks, _dc.asdict(cfg),
+                    spark.sparkContext.defaultParallelism],
+                   sort_keys=True).encode()
     ).hexdigest()
     plan_path = os.path.join(out_dir, "encode_plan.json")
     prev_sig = None

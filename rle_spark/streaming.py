@@ -92,9 +92,11 @@ def compact_blocks(spark: SparkSession, out_dir: str,
     stopped with its checkpoint committed — a replay of an epoch whose
     files were just compacted would re-add its docs. The swap stages
     the new data in a dot-directory readers ignore and drops a
-    _COMPACTING marker across the non-atomic window (crash recovery:
-    if the marker exists, promote blocks/.compact_new to epoch=-1 and
-    delete _blocks_old). Returns the number of files after compaction.
+    _COMPACTING marker across the non-atomic window; on entry a
+    leftover marker triggers recover_compaction() first, so a rerun
+    after a mid-swap crash finishes the interrupted swap instead of
+    re-reading a half-empty table. Returns the number of files after
+    compaction.
     """
     import shutil
     blocks_path = os.path.join(out_dir, "blocks")
@@ -102,16 +104,32 @@ def compact_blocks(spark: SparkSession, out_dir: str,
     hidden_new = os.path.join(blocks_path, ".compact_new")
     old = os.path.join(out_dir, "_blocks_old")
     marker = os.path.join(out_dir, "_COMPACTING")
+    recover_compaction(out_dir)  # finish any interrupted swap first
     total = sum(os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(blocks_path) for f in fs)
     n_files = max(1, (total + target_bytes - 1) // target_bytes)
     (spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
      .repartition(int(n_files))
      .write.mode("overwrite").parquet(staged))
+    # pre-marker leftovers only: with no marker on disk, live data is
+    # still fully under blocks/, so these copies are redundant garbage
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(hidden_new, ignore_errors=True)
     os.replace(staged, hidden_new)  # hidden: readers ignore dot-dirs
     open(marker, "w").close()
+    _finish_swap(blocks_path, old, hidden_new, marker)
+    refresh_manifest(spark, out_dir)
+    return sum(1 for _dp, _dn, fs in os.walk(blocks_path)
+               for f in fs if f.endswith(".parquet"))
+
+
+def _finish_swap(blocks_path: str, old: str, hidden_new: str,
+                 marker: str) -> None:
+    """Marker is on disk and .compact_new holds the COMPLETE new table
+    (the staged write read everything then live). Move the live entries
+    aside, promote, and only then drop the marker + old copies — this
+    sequence is re-runnable from any crash point."""
+    import shutil
     os.makedirs(old, exist_ok=True)
     for entry in os.listdir(blocks_path):
         if not entry.startswith((".", "_")):
@@ -120,9 +138,39 @@ def compact_blocks(spark: SparkSession, out_dir: str,
     os.replace(hidden_new, os.path.join(blocks_path, "epoch=-1"))
     os.remove(marker)
     shutil.rmtree(old, ignore_errors=True)
-    refresh_manifest(spark, out_dir)
-    return sum(1 for _dp, _dn, fs in os.walk(blocks_path)
-               for f in fs if f.endswith(".parquet"))
+
+
+def recover_compaction(out_dir: str) -> bool:
+    """Finish a compact_blocks swap interrupted by a crash.
+
+    Safe at any time: no-op without the _COMPACTING marker. With the
+    marker, blocks/.compact_new (if still present) is a complete copy
+    of the table, so the swap is simply resumed; if it is already
+    promoted to epoch=-1 the leftovers are cleaned up. Nothing is
+    deleted unless the surviving full copy is verified on disk.
+    Returns True when a recovery was performed.
+    """
+    import shutil
+    blocks_path = os.path.join(out_dir, "blocks")
+    hidden_new = os.path.join(blocks_path, ".compact_new")
+    old = os.path.join(out_dir, "_blocks_old")
+    marker = os.path.join(out_dir, "_COMPACTING")
+    if not os.path.exists(marker):
+        return False
+    if os.path.isdir(hidden_new):
+        # crash before promotion: resume the swap (moves any live
+        # entries — all duplicated inside .compact_new — aside first)
+        _finish_swap(blocks_path, old, hidden_new, marker)
+        return True
+    if os.path.isdir(os.path.join(blocks_path, "epoch=-1")):
+        # crash after promotion: data is live, just clean up
+        os.remove(marker)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+    raise RuntimeError(
+        f"compaction marker {marker} present but neither "
+        f"{hidden_new} nor epoch=-1 exists; manual inspection of "
+        f"{old} required — refusing to touch the directory")
 
 
 def encode_stream_backfill(spark: SparkSession, input_path: str,

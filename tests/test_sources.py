@@ -139,6 +139,62 @@ def test_direct_writer_resume_skips_committed_tasks(spark, tmp_path_factory):
     df.unpersist()
 
 
+def test_split_planning_recursive_and_strict(spark, tmp_path_factory):
+    """Partitioned layouts (streaming epoch dirs) plan recursively; a
+    non-empty dir with zero parquet files raises instead of silently
+    planning an empty table (round-2 advice)."""
+    import pytest
+    base = str(tmp_path_factory.mktemp("nested"))
+    df = token_table(spark, 40, seed=28)
+    df.write.mode("overwrite").parquet(os.path.join(base, "epoch=0"))
+    df.write.mode("overwrite").parquet(os.path.join(base, "epoch=1"))
+    units = plan_parquet_splits(base, target_bytes=1 << 40)
+    assert {os.path.dirname(p) for p, _, _ in units} == {
+        os.path.join(base, "epoch=0"), os.path.join(base, "epoch=1")}
+
+    bogus = str(tmp_path_factory.mktemp("bogus"))
+    open(os.path.join(bogus, "data.csv"), "w").write("x\n")
+    with pytest.raises(ValueError, match="no .*parquet"):
+        plan_parquet_splits(bogus)
+    # truly empty dir still plans an empty list (no error)
+    empty = str(tmp_path_factory.mktemp("empty"))
+    assert plan_parquet_splits(empty) == []
+
+
+def test_resume_config_change_forces_rewrite(spark, tmp_path_factory):
+    """Changing a codec-affecting EngineConfig field between runs with
+    resume=True must take the clean-rewrite path (the plan fingerprint
+    covers the full config since round 3)."""
+    import dataclasses
+    import glob
+    from rle_spark.selector import SelectorConfig
+    from rle_spark.sources import encode_parquet_dir_direct
+    src = str(tmp_path_factory.mktemp("cfg_src"))
+    out = str(tmp_path_factory.mktemp("cfg_out"))
+    df = token_table(spark, 50, seed=29).cache()
+    df.count()
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=4)
+    parts = sorted(glob.glob(os.path.join(out, "blocks", "part-*.parquet")))
+    mtimes = {p: os.path.getmtime(p) for p in parts}
+    import time as _time
+    _time.sleep(0.05)
+    # same config + resume: all committed files untouched
+    encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=4, resume=True)
+    assert all(os.path.getmtime(p) == mtimes[p] for p in parts)
+    # restricted allow-list changes the codec choice -> full rewrite
+    cfg2 = dataclasses.replace(
+        CFG, selector=SelectorConfig(allow=["raw"]))
+    s = encode_parquet_dir_direct(spark, src, out, cfg2, n_tasks=4,
+                                  resume=True)
+    assert any(os.path.getmtime(p) != mtimes[p] for p in parts)
+    assert s["ratio"] >= 1.0  # raw-only: proof the new config applied
+    from rle_spark.engine import read_encoded
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
+
+
 def test_decode_parquet_dir_full(spark, tmp_path_factory):
     from rle_spark.sources import decode_parquet_dir, encode_parquet_dir_direct
     src = str(tmp_path_factory.mktemp("ddsrc"))

@@ -143,3 +143,82 @@ def test_compact_blocks_preserves_data(spark, tmp_path_factory):
     w1.unpersist()
     w2.unpersist()
     w3.unpersist()
+
+
+def _encoded_out(spark, tmp_path_factory, n_docs, seed):
+    src = str(tmp_path_factory.mktemp("crash_src"))
+    out = str(tmp_path_factory.mktemp("crash_out"))
+    df = token_table(spark, n_docs, seed=seed).cache()
+    df.count()
+    df.write.mode("overwrite").parquet(src)
+    encode_stream_backfill(spark, src, out, CFG)
+    return df, out
+
+
+def _stage_crash_state(spark, out, promote: bool):
+    """Build the exact on-disk state of a crash inside compact_blocks'
+    swap window: staged copy written, marker dropped, live entries moved
+    to _blocks_old; with promote=True also finish the epoch=-1 rename
+    (= crash just before marker removal)."""
+    from rle_spark.blocks import BLOCK_SCHEMA_DDL
+    blocks_path = os.path.join(out, "blocks")
+    staged = os.path.join(out, "_blocks_compacting")
+    hidden_new = os.path.join(blocks_path, ".compact_new")
+    old = os.path.join(out, "_blocks_old")
+    (spark.read.schema(BLOCK_SCHEMA_DDL).parquet(blocks_path)
+     .repartition(1).write.mode("overwrite").parquet(staged))
+    os.replace(staged, hidden_new)
+    open(os.path.join(out, "_COMPACTING"), "w").close()
+    os.makedirs(old, exist_ok=True)
+    for entry in os.listdir(blocks_path):
+        if not entry.startswith((".", "_")):
+            os.replace(os.path.join(blocks_path, entry),
+                       os.path.join(old, entry))
+    if promote:
+        os.replace(hidden_new, os.path.join(blocks_path, "epoch=-1"))
+
+
+def test_compaction_crash_before_promote_recovers(spark, tmp_path_factory):
+    """Crash after live entries moved aside but before .compact_new is
+    promoted: blocks/ holds only a dot-dir. A rerun of compact_blocks
+    must recover the staged copy, not read an empty table and destroy
+    both surviving copies (the round-2 data-loss bug)."""
+    from rle_spark.streaming import compact_blocks
+    df, out = _encoded_out(spark, tmp_path_factory, 40, seed=41)
+    _stage_crash_state(spark, out, promote=False)
+    compact_blocks(spark, out, target_bytes=1 << 30)  # the naive rerun
+    assert not os.path.exists(os.path.join(out, "_COMPACTING"))
+    assert not os.path.exists(os.path.join(out, "_blocks_old"))
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert decoded.count() == 40
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
+
+
+def test_compaction_crash_after_promote_recovers(spark, tmp_path_factory):
+    """Crash after epoch=-1 is promoted but before the marker/old
+    cleanup: recovery must just clean up, keeping the promoted data."""
+    from rle_spark.streaming import recover_compaction
+    df, out = _encoded_out(spark, tmp_path_factory, 30, seed=42)
+    _stage_crash_state(spark, out, promote=True)
+    assert recover_compaction(out) is True
+    assert not os.path.exists(os.path.join(out, "_COMPACTING"))
+    assert not os.path.exists(os.path.join(out, "_blocks_old"))
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert decoded.count() == 30
+    assert roundtrip_mismatch_count(df, decoded) == 0
+    df.unpersist()
+
+
+def test_recover_compaction_refuses_ambiguous_state(tmp_path):
+    """Marker present but neither .compact_new nor epoch=-1: refuse to
+    touch anything rather than guess."""
+    import pytest
+    from rle_spark.streaming import recover_compaction
+    out = str(tmp_path)
+    os.makedirs(os.path.join(out, "blocks"))
+    os.makedirs(os.path.join(out, "_blocks_old"))
+    open(os.path.join(out, "_COMPACTING"), "w").close()
+    with pytest.raises(RuntimeError, match="manual inspection"):
+        recover_compaction(out)
+    assert os.path.isdir(os.path.join(out, "_blocks_old"))  # untouched
