@@ -77,6 +77,110 @@ def _as_comparable(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _bit_class_vec(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for positive int64 arrays, exact at every power of
+    two (float log2 is not above 2^52)."""
+    x = x.astype(np.int64, copy=True)
+    e = np.zeros_like(x)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.int64(1) << sh)
+        e[m] += sh
+        x[m] >>= sh
+    return e
+
+
+class _TaskRunFold:
+    """Streaming run detection over one task's batches: every COMPLETE
+    interior run goes to `sink(vals, lens)` (vectorized); the task's
+    first closed run and final open run are held back for boundary
+    export (they may merge with neighbor tasks' edge runs — the rle8m
+    offset-table stitch, /root/reference/src/rle8_low_entropy_cpu.c:126-191).
+    """
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.cur: tuple | None = None   # open run (value, len)
+        self.first: tuple | None = None  # first CLOSED run of the task
+        self._closed_any = False
+
+    def _close(self, v, ln: int) -> None:
+        if not self._closed_any:
+            self.first = (v, ln)
+            self._closed_any = True
+        else:
+            self.sink(np.asarray([v]), np.asarray([ln], dtype=np.int64))
+
+    def feed(self, a: np.ndarray) -> None:
+        n = len(a)
+        if n == 0:
+            return
+        starts, lens = find_runs(a)
+        vals = a[starts]
+        k = len(starts)
+        i0 = 0
+        if self.cur is not None:
+            if vals[0] == self.cur[0]:
+                if k == 1:
+                    self.cur = (self.cur[0], self.cur[1] + n)
+                    return
+                self._close(self.cur[0], self.cur[1] + int(lens[0]))
+                i0 = 1
+            else:
+                self._close(*self.cur)
+        if k - 1 > i0:
+            if not self._closed_any:
+                self._close(vals[i0].item() if hasattr(vals[i0], "item")
+                            else vals[i0], int(lens[i0]))
+                i0 += 1
+            if k - 1 > i0:
+                self.sink(vals[i0:k - 1], lens[i0:k - 1])
+        v = vals[k - 1]
+        self.cur = (v.item() if hasattr(v, "item") else v, int(lens[k - 1]))
+
+    def boundary(self) -> list[tuple]:
+        """(kind, value, len) exports: kind 1=first closed run,
+        2=final open run, 3=the task's only run, none if empty."""
+        if self.cur is None:
+            return []
+        if self.first is None:
+            return [(3, self.cur[0], self.cur[1])]
+        return [(1, self.first[0], self.first[1]),
+                (2, self.cur[0], self.cur[1])]
+
+
+class _BoundaryRunMerger:
+    """Driver-side O(P) stitch of the per-task boundary exports emitted
+    by _TaskRunFold (walk tasks in pid order; a task's first run may
+    extend the previous task's final open run)."""
+
+    def __init__(self, close):
+        self.close = close   # close(value, total_len)
+        self.pend: tuple | None = None
+
+    def _extend_or_close(self, v, ln: int) -> None:
+        if self.pend is not None and self.pend[0] == v:
+            self.pend = (v, self.pend[1] + ln)
+        else:
+            if self.pend is not None:
+                self.close(*self.pend)
+            self.pend = (v, ln)
+
+    def task(self, first, last, only) -> None:
+        if only is not None:
+            self._extend_or_close(only[0], only[1])  # stays open
+            return
+        if first is None:
+            return  # empty task
+        self._extend_or_close(first[0], first[1])
+        self.close(*self.pend)  # an interior run followed: first is final
+        self.pend = (last[0], last[1])
+
+    def finish(self) -> None:
+        if self.pend is not None:
+            self.close(*self.pend)
+            self.pend = None
+
+
 def _ranged(df: DataFrame, cols: list[str], order: list[str]) -> DataFrame:
     """Range-shuffle rows on the order keys: each task gets a contiguous
     sorted slice (the rle8m subsection analogue)."""
@@ -214,13 +318,93 @@ def partition_runs(df: DataFrame, col: str, order: list[str]) -> DataFrame:
 
 
 def run_stats(df: DataFrame, col: str, order: list[str]) -> DataFrame:
-    """Per-value run statistics of `col` under the given total order."""
-    runs = partition_runs(df, col, order)
-    return (runs.groupBy("value")
-            .agg(F.count("*").alias("n_runs"),
-                 F.sum("run_len").alias("total_len"),
-                 F.max("run_len").alias("max_run_len"))
-            .orderBy("value"))
+    """Per-value run statistics of `col` under the given total order.
+
+    Partial aggregates are computed INSIDE the range-partitioned kernel
+    (per-task per-value n_runs/total_len/max over interior runs); the
+    driver merges O(P·K) partial rows plus the O(P) boundary runs —
+    the full run table is never materialized or persisted. K = distinct
+    values; like the reference's --analyze this targets byte-symbol
+    columns (K <= 256, /root/reference/src/main.c:1246+) — for
+    unbounded-cardinality columns use run_extract + groupBy.
+    """
+    vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+    schema = (f"pid int, kind int, value {vtype}, n_runs long, "
+              "total_len long, max_run_len long")
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        acc: dict = {}  # value -> [n_runs, total_len, max_run_len]
+
+        def sink(vals: np.ndarray, lens: np.ndarray) -> None:
+            g = (pd.Series(lens).groupby(pd.Series(vals))
+                 .agg(["count", "sum", "max"]))
+            for v, (c, s, m) in g.iterrows():
+                st = acc.get(v)
+                if st is None:
+                    acc[v] = [int(c), int(s), int(m)]
+                else:
+                    st[0] += int(c)
+                    st[1] += int(s)
+                    st[2] = max(st[2], int(m))
+
+        fold = _TaskRunFold(sink)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            fold.feed(_as_comparable(pdf[col].to_numpy()))
+        rows = [(pid, 0, v, st[0], st[1], st[2]) for v, st in acc.items()]
+        rows += [(pid, kind, v, 1, ln, ln) for kind, v, ln in fold.boundary()]
+        if rows:
+            yield pd.DataFrame(rows, columns=["pid", "kind", "value",
+                                              "n_runs", "total_len",
+                                              "max_run_len"])
+
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+    total: dict = {}
+
+    def close(v, ln: int) -> None:
+        st = total.get(v)
+        if st is None:
+            total[v] = [1, ln, ln]
+        else:
+            st[0] += 1
+            st[1] += ln
+            st[2] = max(st[2], ln)
+
+    merger = _BoundaryRunMerger(close)
+    i = 0
+    while i < len(parts):
+        pid = parts[i].pid
+        first = last = only = None
+        while i < len(parts) and parts[i].pid == pid:
+            r = parts[i]
+            if r.kind == 0:
+                st = total.get(r.value)
+                if st is None:
+                    total[r.value] = [r.n_runs, r.total_len, r.max_run_len]
+                else:
+                    st[0] += r.n_runs
+                    st[1] += r.total_len
+                    st[2] = max(st[2], r.max_run_len)
+            elif r.kind == 1:
+                first = (r.value, r.total_len)
+            elif r.kind == 2:
+                last = (r.value, r.total_len)
+            else:
+                only = (r.value, r.total_len)
+            i += 1
+        merger.task(first, last, only)
+    merger.finish()
+    rows = [(v, int(st[0]), int(st[1]), int(st[2]))
+            for v, st in sorted(total.items())]
+    return df.sparkSession.createDataFrame(
+        rows, f"value {vtype}, n_runs long, total_len long, "
+              "max_run_len long")
 
 
 def run_extract(df: DataFrame, col: str, order: list[str]) -> DataFrame:
@@ -234,13 +418,64 @@ def run_extract(df: DataFrame, col: str, order: list[str]) -> DataFrame:
 def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame:
     """Run lengths bucketed by bit class (floor(log2(len))) — the
     AnalyzeData run-length histogram (/root/reference/src/main.c:1246+,
-    'run lengths by bit-class')."""
-    runs = partition_runs(df, col, order)
-    bit_class = (F.length(F.bin(F.col("run_len"))) - 1).alias("bit_class")
-    return (runs.select(bit_class)
-            .groupBy("bit_class")
-            .agg(F.count("*").alias("n_runs"))
-            .orderBy("bit_class"))
+    'run lengths by bit-class').
+
+    The 64-bucket histogram is accumulated INSIDE the range-partitioned
+    kernel over interior runs; the driver folds in the O(P) boundary
+    runs — no run table, no persist, no second shuffle."""
+    vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+    schema = f"pid int, kind int, value {vtype}, run_len long, hist array<long>"
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        hist = np.zeros(64, dtype=np.int64)
+
+        def sink(_vals: np.ndarray, lens: np.ndarray) -> None:
+            np.add.at(hist, _bit_class_vec(np.asarray(lens)), 1)
+
+        fold = _TaskRunFold(sink)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            fold.feed(_as_comparable(pdf[col].to_numpy()))
+        bound = fold.boundary()
+        if bound or hist.any():
+            rows = [(pid, 0, None, 0, hist.tolist())]
+            rows += [(pid, kind, v, ln, None) for kind, v, ln in bound]
+            yield pd.DataFrame(rows, columns=["pid", "kind", "value",
+                                              "run_len", "hist"])
+
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+    hist = np.zeros(64, dtype=np.int64)
+
+    def close(_v, ln: int) -> None:
+        hist[int(ln).bit_length() - 1] += 1
+
+    merger = _BoundaryRunMerger(close)
+    i = 0
+    while i < len(parts):
+        pid = parts[i].pid
+        first = last = only = None
+        while i < len(parts) and parts[i].pid == pid:
+            r = parts[i]
+            if r.kind == 0:
+                hist += np.asarray(r.hist, dtype=np.int64)
+            elif r.kind == 1:
+                first = (r.value, r.run_len)
+            elif r.kind == 2:
+                last = (r.value, r.run_len)
+            else:
+                only = (r.value, r.run_len)
+            i += 1
+        merger.task(first, last, only)
+    merger.finish()
+    rows = [(int(b), int(n)) for b, n in enumerate(hist) if n]
+    return df.sparkSession.createDataFrame(
+        rows, "bit_class int, n_runs long")
 
 
 def _run_summary(df: DataFrame, cols: list[str],
@@ -473,24 +708,132 @@ def sym_width_run_histogram(df: DataFrame, col: str, order: list[str],
     (/root/reference/src/main.c:1246+). One extra shuffle (by symbol
     ordinal) over the width-grouping; everything else rides
     partition_runs."""
-    rn_df = with_global_rn(df, col, order)
     w = sym_bytes
-    grouped = (rn_df
-               .withColumn("sym_idx", F.floor((F.col("rn") - 1) / w))
-               .withColumn("pos", (F.col("rn") - 1) % w)
-               .groupBy("sym_idx")
-               .agg(F.count("*").alias("nb"),
-                    F.concat_ws("", F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", "value"))),
-                        lambda x: x["value"])).alias("sym"))
-               .filter(F.col("nb") == w)
-               .select("sym_idx", "sym"))
-    runs = partition_runs(grouped, "sym", ["sym_idx"])
-    bit_class = (F.length(F.bin(F.col("run_len"))) - 1).alias("bit_class")
-    return (runs.select(bit_class)
-            .groupBy("bit_class").agg(F.count("*").alias("n_runs"))
-            .orderBy("bit_class"))
+    spark = df.sparkSession
+    with _release_persists_after():
+        arranged = (_ranged(df, [col], order)
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+        _PERSIST_POOL.append(arranged)
+        # O(P) pass over the persisted slices: per-task row offsets give
+        # each task its global symbol alignment phase
+        cnts = {r.pid: r.cnt for r in
+                arranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+                .collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(cnts):
+            offsets[pid] = acc
+            acc += cnts[pid]
+
+        def it(batches: Iterable[pd.DataFrame]):
+            pid = -1
+            chunks: list[np.ndarray] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if pid < 0:
+                    pid = int(pdf["pid"].iloc[0])
+                chunks.append(np.asarray(pdf[col].to_numpy(), dtype="U1"))
+            if pid < 0:
+                return
+            a = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            n = len(a)
+            off = offsets[pid]
+            lo = (-off) % w              # bytes before the first aligned sym
+            m = max(0, (n - lo) // w)    # complete symbols in this task
+            if m:
+                head = "".join(a[:lo])
+                tail = "".join(a[lo + m * w:])
+            else:
+                head = "".join(a)  # whole task is sub-symbol: all boundary
+                tail = ""
+            hist = np.zeros(64, dtype=np.int64)
+            bound: list[tuple] = []
+            if m:
+                syms = np.ascontiguousarray(
+                    a[lo:lo + m * w].reshape(m, w)).view(f"U{w}").ravel()
+                starts, lens = find_runs(syms)
+                vals = syms[starts]
+                k = len(starts)
+                if k == 1:
+                    bound = [(3, str(vals[0]), int(lens[0]))]
+                else:
+                    bound = [(1, str(vals[0]), int(lens[0])),
+                             (2, str(vals[-1]), int(lens[-1]))]
+                    if k > 2:
+                        np.add.at(hist, _bit_class_vec(lens[1:-1]), 1)
+            rows = [(pid, 0, None, 0, hist.tolist(), head, tail)]
+            rows += [(pid, kind, v, ln, None, None, None)
+                     for kind, v, ln in bound]
+            yield pd.DataFrame(rows, columns=["pid", "kind", "sym",
+                                              "run_len", "hist",
+                                              "head", "tail"])
+
+        parts = sorted(arranged.mapInPandas(
+            it, "pid int, kind int, sym string, run_len long, "
+                "hist array<long>, head string, tail string").collect(),
+            key=lambda r: r.pid)
+
+    # --- driver-side O(P·w) stitch: boundary bytes assemble the symbols
+    # that span task edges; boundary runs extend across them ---
+    hist = np.zeros(64, dtype=np.int64)
+    cur: list = [None, 0]  # open symbol run (sym, len)
+    buf = ""               # partial symbol bytes
+
+    def feed_sym(s: str) -> None:
+        if cur[0] == s:
+            cur[1] += 1
+        else:
+            if cur[1]:
+                hist[cur[1].bit_length() - 1] += 1
+            cur[0], cur[1] = s, 1
+
+    def feed_run(s: str, ln: int) -> None:
+        if cur[0] == s:
+            cur[1] += ln
+        else:
+            if cur[1]:
+                hist[cur[1].bit_length() - 1] += 1
+            cur[0], cur[1] = s, ln
+
+    def feed_bytes(bs: str) -> None:
+        nonlocal buf
+        buf += bs
+        while len(buf) >= w:
+            feed_sym(buf[:w])
+            buf = buf[w:]
+
+    i = 0
+    while i < len(parts):
+        pid = parts[i].pid
+        first = last = only = None
+        task_hist = head = tail = None
+        while i < len(parts) and parts[i].pid == pid:
+            r = parts[i]
+            if r.kind == 0:
+                task_hist, head, tail = r.hist, r.head, r.tail
+            elif r.kind == 1:
+                first = (r.sym, r.run_len)
+            elif r.kind == 2:
+                last = (r.sym, r.run_len)
+            else:
+                only = (r.sym, r.run_len)
+            i += 1
+        feed_bytes(head or "")
+        if only is not None:
+            feed_run(*only)
+        elif first is not None:
+            feed_run(*first)
+            # an interior run follows: the merged-first run is final
+            hist[cur[1].bit_length() - 1] += 1
+            cur[0], cur[1] = None, 0
+            hist += np.asarray(task_hist, dtype=np.int64)
+            cur[0], cur[1] = last[0], last[1]
+        feed_bytes(tail or "")
+    if cur[1]:
+        hist[cur[1].bit_length() - 1] += 1
+    # incomplete final symbol in `buf` is dropped (aligned semantics)
+    rows = [(int(b), int(x)) for b, x in enumerate(hist) if x]
+    return spark.createDataFrame(rows, "bit_class int, n_runs long")
 
 
 def unaligned_run_histogram(df: DataFrame, col: str, order: list[str],
@@ -498,28 +841,96 @@ def unaligned_run_histogram(df: DataFrame, col: str, order: list[str],
     """UNALIGNED (byte-aligned) run histogram at a stride: maximal
     intervals where byte[i] == byte[i-stride] (runs may start anywhere
     — the UNBOUND semantics, /root/reference/src/rleX_extreme_cpu.h:23-35);
-    histogram is over covered bytes = matched length + stride. The
-    self-equality column is a distributed equi-join on rn (no window);
-    interval extraction rides partition_runs over the boolean flag.
+    histogram is over covered bytes = matched length + stride.
 
-    Known trade: the rn self-join costs two extra row-scale shuffles
-    vs folding an O(stride) carry into the range-partitioned kernel
-    (a doubly-carried variant of partition_runs). Every stage here is
-    still shuffle-parallel — nothing single-partition — so the plan
-    survives scale; the carry variant is the optimization if this
-    secondary analysis ever becomes hot."""
-    rn_df = with_global_rn(df, col, order)
-    shifted = rn_df.select((F.col("rn") + stride).alias("rn"),
-                           F.col("value").alias("prev"))
-    eq = (rn_df.join(shifted, "rn", "left")
-          .select("rn", F.coalesce(F.col("value") == F.col("prev"),
-                                   F.lit(False)).alias("eq")))
-    runs = partition_runs(eq, "eq", ["rn"]).filter(F.col("value"))
-    covered = F.col("run_len") + stride
-    bit_class = (F.length(F.bin(covered)) - 1).alias("bit_class")
-    return (runs.select(bit_class)
-            .groupBy("bit_class").agg(F.count("*").alias("n_runs"))
-            .orderBy("bit_class"))
+    ONE range shuffle, one kernel pass: each task evaluates
+    byte[i]==byte[i-stride] for every position with both bytes local
+    and accumulates the histogram over complete match-runs; the first
+    `stride` positions of each task (predecessor bytes live in the
+    previous task) plus the edge-touching runs are exported — O(stride)
+    values per task edge — and resolved on the driver. This replaces
+    the round-2 rn self-join that cost two extra row-scale shuffles."""
+    s = stride
+    arranged = _ranged(df, [col], order)
+    vtype = df.schema[col].dataType.simpleString()
+    schema = (f"pid int, n long, n_eval long, head array<{vtype}>, "
+              f"tail array<{vtype}>, f long, l long, spans boolean, "
+              "hist array<long>")
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        chunks: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            chunks.append(_as_comparable(pdf[col].to_numpy()))
+        if pid < 0:
+            return
+        a = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        n = len(a)
+        hist = np.zeros(64, dtype=np.int64)
+        f = l = 0
+        spans = False
+        n_eval = max(0, n - s)
+        if n_eval:
+            eq = a[s:] == a[:-s]
+            starts, lens = find_runs(eq)
+            vals = eq[starts]
+            t_starts = starts[vals]
+            t_lens = lens[vals]
+            if len(t_lens):
+                at_head = t_starts[0] == 0
+                at_tail = t_starts[-1] + t_lens[-1] == n_eval
+                if at_head:
+                    f = int(t_lens[0])
+                if at_tail:
+                    l = int(t_lens[-1])
+                spans = bool(len(t_lens) == 1 and at_head and at_tail)
+                lo = 1 if at_head else 0
+                hi = len(t_lens) - (1 if at_tail else 0)
+                if hi > lo:
+                    np.add.at(hist,
+                              _bit_class_vec(t_lens[lo:hi] + s), 1)
+        head = a[:min(s, n)].tolist()
+        tail = a[-min(s, n):].tolist()
+        yield pd.DataFrame([(pid, n, n_eval, head, tail, f, l, spans,
+                             hist.tolist())],
+                           columns=["pid", "n", "n_eval", "head", "tail",
+                                    "f", "l", "spans", "hist"])
+
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+    hist = np.zeros(64, dtype=np.int64)
+    ring: list = []   # last <= s values of the stream so far
+    pend = 0          # open match-run length at the stream cursor
+
+    def close() -> None:
+        nonlocal pend
+        if pend:
+            hist[int(pend + s).bit_length() - 1] += 1
+            pend = 0
+
+    for r in parts:
+        nb = min(s, r.n)
+        for j in range(nb):
+            idx = len(ring) - s + j
+            if idx >= 0 and r.head[j] == ring[idx]:
+                pend += 1
+            else:
+                close()
+        if r.n_eval > 0:
+            if r.f > 0:
+                pend += r.f
+            if not r.spans:
+                close()
+                pend = r.l
+            hist += np.asarray(r.hist, dtype=np.int64)
+        ring = (ring + list(r.tail))[-s:]
+    close()
+    rows = [(int(b), int(x)) for b, x in enumerate(hist) if x]
+    return df.sparkSession.createDataFrame(rows, "bit_class int, n_runs long")
 
 
 def lru_recurrence(df: DataFrame, col: str, order: list[str],

@@ -110,6 +110,76 @@ def test_lru_recurrence_monotone_in_k(spark, seq_df):
     assert hits == sorted(hits)  # bigger LUT window never loses hits
 
 
+def _naive_run_stats(chars):
+    starts, lens = find_runs(chars)
+    out = {}
+    for s, ln in zip(starts, lens):
+        st = out.setdefault(chars[s], [0, 0, 0])
+        st[0] += 1
+        st[1] += int(ln)
+        st[2] = max(st[2], int(ln))
+    return {v: tuple(st) for v, st in out.items()}
+
+
+def test_run_stats_matches_naive(spark, seq_df):
+    df, chars = seq_df
+    got = {r.value: (r.n_runs, r.total_len, r.max_run_len) for r in
+           analyze.run_stats(df, "ch", ["pos"]).collect()}
+    assert got == _naive_run_stats(chars)
+
+
+def test_run_length_histogram_matches_naive(spark, seq_df):
+    df, chars = seq_df
+    _, lens = find_runs(chars)
+    bc = np.int64(np.floor(np.log2(lens)))
+    vals, counts = np.unique(bc, return_counts=True)
+    want = {int(v): int(c) for v, c in zip(vals, counts)}
+    got = {r.bit_class: r.n_runs for r in
+           analyze.run_length_histogram(df, "ch", ["pos"]).collect()}
+    assert got == want
+
+
+def test_folded_kernels_leave_no_persists(spark, seq_df):
+    """run_stats / run_length_histogram / both histograms fully release
+    their pinned intermediates before returning (round-2 advice: the
+    pool must not grow across repeated analyses)."""
+    df, _ = seq_df
+    analyze.clear_run_cache()
+    analyze.run_stats(df, "ch", ["pos"]).collect()
+    analyze.run_length_histogram(df, "ch", ["pos"]).collect()
+    analyze.sym_width_run_histogram(df, "ch", ["pos"], 2).collect()
+    analyze.unaligned_run_histogram(df, "ch", ["pos"], 2).collect()
+    assert analyze._PERSIST_POOL == []
+
+
+def test_folded_kernels_many_tiny_partitions(spark):
+    """Boundary stitch stress: 48 range partitions over short runs so
+    nearly every run touches a task edge; single giant run too."""
+    rng = np.random.default_rng(7)
+    chars = np.repeat(np.array(list("AB"))[rng.integers(0, 2, 600)],
+                      rng.integers(1, 4, 600))
+    pdf = pd.DataFrame({"pos": np.arange(len(chars)), "ch": chars})
+    df = spark.createDataFrame(pdf).repartition(48)
+    assert ({r.value: (r.n_runs, r.total_len, r.max_run_len) for r in
+             analyze.run_stats(df, "ch", ["pos"]).collect()}
+            == _naive_run_stats(chars))
+    got = {r.bit_class: r.n_runs for r in
+           analyze.sym_width_run_histogram(df, "ch", ["pos"], 3).collect()}
+    assert got == _naive_width_hist(chars, 3)
+    got = {r.bit_class: r.n_runs for r in
+           analyze.unaligned_run_histogram(df, "ch", ["pos"], 2).collect()}
+    assert got == _naive_unaligned_hist(chars, 2)
+
+    one = pd.DataFrame({"pos": range(3000), "ch": ["Z"] * 3000})
+    dfo = spark.createDataFrame(one).repartition(48)
+    rows = analyze.run_stats(dfo, "ch", ["pos"]).collect()
+    assert [(r.value, r.n_runs, r.total_len, r.max_run_len)
+            for r in rows] == [("Z", 1, 3000, 3000)]
+    hist = {r.bit_class: r.n_runs for r in
+            analyze.run_length_histogram(dfo, "ch", ["pos"]).collect()}
+    assert hist == {3000 .bit_length() - 1: 1}
+
+
 def test_partition_runs_single_value_column(spark):
     # one giant run spanning every partition boundary
     pdf = pd.DataFrame({"pos": range(5000), "ch": ["X"] * 5000})
