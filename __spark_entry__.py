@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.q_ann_topk,
         "ivf_topk": Q.q_ivf_topk,
         "cosine_near_dup": Q.q_cosine_near_dup,
+        "cosine_near_dup_auto": Q.q_cosine_near_dup_auto,
         # streaming ingest + multimodal plumbing (oracle-gated)
         "streaming_backfill": Q.q_streaming_backfill,
         "multimodal_features": Q.q_multimodal_features,
@@ -367,6 +368,20 @@ def oracle_sql() -> dict[str, str]:
     from rle_spark.similarity import (cosine_near_dup_oracle_sql,
                                       ivf_oracle_sql, quantize_oracle_sql)
     sql["cosine_near_dup"] = cosine_near_dup_oracle_sql()
+
+    # auto-grid variant: the plane count is derived from the corpus size
+    # (auto_n_planes) — frozen here from the sf0.01 training-table row
+    # count exactly the way the IVF oracle freezes its centroids; the
+    # Spark query computes it live from emb.count()
+    import pyarrow.parquet as _pq
+    from rle_spark.similarity import auto_n_planes
+    _nd_rows = _pq.ParquetFile(
+        "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    _auto_planes = auto_n_planes(_nd_rows, Q.AUTO_ND_TARGET_BUCKET,
+                                 Q.AUTO_ND_MIN_PLANES)
+    sql["cosine_near_dup_auto"] = cosine_near_dup_oracle_sql(
+        n_planes=_auto_planes)
+
     sql["embedding_quantize"] = quantize_oracle_sql()
 
     # IVF quantizer + query vector are frozen from the sf0.01 training

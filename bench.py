@@ -49,10 +49,11 @@ HEADLINE = [
     "width2_run_histogram", "unaligned2_run_histogram", "lru_recurrence",
     "column_codec_stats",
     "codec_selection", "ref_rle8_size", "dedup_exact", "minhash_signatures",
-    "near_dup_buckets", "ngram_jaccard_pairs", "doc_fingerprint",
+    "near_dup_buckets", "simhash", "ngram_jaccard_pairs", "doc_fingerprint",
     "quality_by_source", "langid_counts", "embedding_quantize",
     "ann_topk", "ivf_topk",
-    "cosine_near_dup", "streaming_backfill", "multimodal_features",
+    "cosine_near_dup", "cosine_near_dup_auto",
+    "streaming_backfill", "multimodal_features",
     "pricing_summary", "revenue_by_nation", "token_runs_by_source",
 ]
 

@@ -136,6 +136,25 @@ def q_cosine_near_dup(spark, sf_dir):
             .orderBy("vec_a", "vec_b"))
 
 
+# aggressive auto-grid shape so the plane count provably varies with
+# corpus size at test scale: target 16/bucket, floor 4 planes ->
+# 5 planes at 500 vectors (not the fixed NEAR_DUP_PLANES=6), 7 at 2000
+AUTO_ND_TARGET_BUCKET = 16
+AUTO_ND_MIN_PLANES = 4
+
+
+def q_cosine_near_dup_auto(spark, sf_dir):
+    """cosine_near_dup with the corpus-sized plane grid (n_planes=None
+    -> auto_n_planes): the at-scale shape where candidate volume stays
+    ~N * target_bucket instead of drifting toward all-pairs. The oracle
+    freezes the same plane count from the training corpus row count."""
+    return (similarity.cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), n_planes=None,
+        auto_target_bucket=AUTO_ND_TARGET_BUCKET,
+        auto_min_planes=AUTO_ND_MIN_PLANES)
+        .orderBy("vec_a", "vec_b"))
+
+
 # --- text analysis -----------------------------------------------------
 
 

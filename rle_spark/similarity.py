@@ -177,7 +177,9 @@ def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
                     seed: int = NEAR_DUP_SEED, dim: int = NEAR_DUP_DIM,
                     n_tables: int = 1,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    auto_target_bucket: int = 256,
+                    auto_min_planes: int = NEAR_DUP_PLANES) -> DataFrame:
     """Near-duplicate embedding pairs: same LSH bucket AND exact cosine
     >= min_pct/100. Candidate generation is a hash join on the bucket
     key (work ~ sum of squared bucket sizes, not N^2); the exact
@@ -189,7 +191,8 @@ def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
     plane sets (seed, seed+1, ...) and dedups pairs — the standard
     recall lever for high-plane-count grids."""
     if n_planes is None:
-        n_planes = auto_n_planes(emb.count())
+        n_planes = auto_n_planes(emb.count(), auto_target_bucket,
+                                 auto_min_planes)
     tables = [_near_dup_pairs_one_table(emb, min_pct, n_planes, seed + t,
                                         dim, vec_col, id_col)
               for t in range(n_tables)]

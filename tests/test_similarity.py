@@ -121,3 +121,15 @@ def test_quantized_cosine_recall(spark, emb):
            for r in S.quantize_embeddings(emb).collect()}
     approx = set(topk(deq))
     assert len(exact & approx) >= 8  # >= 0.8 recall at k=10
+
+
+def test_shipped_auto_near_dup_grid_varies_with_corpus():
+    """The oracle-gated cosine_near_dup_auto shape (target_bucket=16,
+    min_planes=4) derives a plane count that actually changes with the
+    corpus: 5 planes at the 500-vector test tables (provably not the
+    fixed NEAR_DUP_PLANES=6) and 7 at the 2000-vector sf0.1 table."""
+    from rle_spark.queries import AUTO_ND_MIN_PLANES, AUTO_ND_TARGET_BUCKET
+    a500 = S.auto_n_planes(500, AUTO_ND_TARGET_BUCKET, AUTO_ND_MIN_PLANES)
+    a2000 = S.auto_n_planes(2000, AUTO_ND_TARGET_BUCKET, AUTO_ND_MIN_PLANES)
+    assert a500 == 5 and a500 != S.NEAR_DUP_PLANES
+    assert a2000 == 7 and a2000 > a500
