@@ -224,7 +224,7 @@ def q_revenue_by_nation(spark, sf_dir):
 # --- full pipeline (rows-only / self-verifying oracles) -------------------
 
 
-_PIPE_CFG = EngineConfig(block_tokens=1 << 16, target_bucket_tokens=1 << 21)
+_PIPE_CFG = EngineConfig(block_tokens=1 << 17, target_bucket_tokens=1 << 21)
 
 
 def q_encode_manifest(spark, sf_dir):
@@ -246,7 +246,9 @@ def q_roundtrip_matches(spark, sf_dir):
     is plain `count(*) per source` — so any roundtrip corruption shows
     up as a value mismatch against DuckDB."""
     toks = textops.tokenize_documents(_t(spark, sf_dir, "documents")).cache()
-    blocks = encode_dataframe(toks, _PIPE_CFG).cache()
+    # blocks has exactly ONE consumer (the decode side) — caching it
+    # only added a memory-store write of the payload (round-2 regression)
+    blocks = encode_dataframe(toks, _PIPE_CFG)
     decoded = decode_dataframe(blocks)
     joined = (toks.select("doc_id", "source", F.col("tokens").alias("t0"))
               .join(decoded.select("doc_id", F.col("tokens").alias("t1")),
