@@ -49,13 +49,38 @@ def low_entropy_eligibility(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return (count > 0) & (total >= 2 * count)
 
 
-def low_entropy_encode_bytes(img: np.ndarray) -> bytes:
+def low_entropy_single_eligibility(vals: np.ndarray,
+                                   lens: np.ndarray) -> np.ndarray:
+    """The `only_max_frequency` ("single") restriction of F7's grid
+    (/root/reference/src/rle8_low_entropy_cpu.c:340-439): among symbols
+    whose average run length clears the cost heuristic, ONLY the one
+    with the maximum estimated byte savings (total bytes minus ~2 bytes
+    per run for symbol+count) is run-length coded; everything else
+    stays verbatim for the entropy coder. Deviation (documented):
+    savings are estimated per run rather than per 255-byte segment —
+    same argmax on every corpus whose runs fit one count byte."""
+    total = np.zeros(256, dtype=np.int64)
+    count = np.zeros(256, dtype=np.int64)
+    np.add.at(total, vals, lens)
+    np.add.at(count, vals, 1)
+    cand = (count > 0) & (total >= 2 * count)
+    savings = np.where(cand, total - 2 * count, 0)
+    elig = np.zeros(256, dtype=bool)
+    if savings.max(initial=0) > 0:
+        elig[int(savings.argmax())] = True
+    return elig
+
+
+def low_entropy_encode_bytes(img: np.ndarray, single: bool = False) -> bytes:
+    """single=True applies the only_max_frequency eligibility; the
+    bitmap-driven decoder is shared by both variants."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if len(img) == 0:
         return pack_sections([b"\x00" * 32, b"", b""])
     starts, lens = find_runs(img)
     vals = img[starts]
-    elig = low_entropy_eligibility(vals, lens)
+    elig = (low_entropy_single_eligibility(vals, lens) if single
+            else low_entropy_eligibility(vals, lens))
     is_e = elig[vals]
     # eligible runs split into ceil(L/256) segments of one symbol byte
     # + one count byte each; ineligible runs stay verbatim

@@ -276,6 +276,14 @@ def _rle8_le_decode(buf, n):
     return img[: n * 4].view(TOKEN_DTYPE).copy()
 
 
+def _rle8_le_single_encode(arr):
+    # F7 "single"/only_max_frequency variant: only the argmax-savings
+    # symbol is run-length coded (rle8_low_entropy_cpu.c:340-439);
+    # shares _rle8_le_decode — the bitmap drives both variants
+    img = tokens_to_bytes(_as_tokens(arr))
+    return compose_zlib(low_entropy_encode_bytes(img, single=True))
+
+
 def _rle8_lz_encode(arr):
     img = tokens_to_bytes(_as_tokens(arr))
     sym, _ = byte_image_symbols(img, 8)
@@ -393,6 +401,8 @@ _register(28, "rle32_lut1", lambda a: _rle32_lut_encode(a, 1),
           _rle32_lut_decode, lambda st: None)
 _register(29, "rle32_lut3", lambda a: _rle32_lut_encode(a, 3),
           _rle32_lut_decode, lambda st: None)
+_register(30, "rle8_le_single", _rle8_le_single_encode, _rle8_le_decode,
+          lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -403,7 +413,8 @@ PROBE_CODECS = ["rle64_sym", "rle128_sym", "rle8", "rle16_sym",
 # (the reference's greedy-encoder tier, README.md:251-254); zlib-backed
 # entries are the Low Entropy (F7) analogues
 MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
-                     "rle8_le", "rle32_lut", "rle32_lut1", "rle32_lut3",
+                     "rle8_le", "rle8_le_single",
+                     "rle32_lut", "rle32_lut1", "rle32_lut3",
                      "rle16_byte", "rle24_byte",
                      "rle48_byte", "rle64_byte", "rle128_byte",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",

@@ -254,3 +254,32 @@ def test_low_entropy_beats_plain_zlib_on_runny_bytes():
     le = len(zlib.compress(low_entropy_encode_bytes(img), 6))
     plain = len(zlib.compress(img.tobytes(), 6))
     assert le < plain
+
+
+def test_low_entropy_single_restricts_to_argmax_symbol():
+    """only_max_frequency: at most ONE bit set in the eligibility
+    bitmap — the symbol with maximal (total - 2*runs) savings — and the
+    shared decoder roundtrips the stream."""
+    import numpy as np
+    from rle_spark.codecs.base import find_runs, unpack_sections
+    from rle_spark.codecs.low_entropy import (
+        low_entropy_decode_bytes, low_entropy_encode_bytes,
+        low_entropy_single_eligibility)
+    rng = np.random.default_rng(11)
+    img = np.repeat(rng.integers(0, 5, 300).astype(np.uint8),
+                    rng.integers(1, 20, 300))
+    buf = low_entropy_encode_bytes(img, single=True)
+    bitmap = np.unpackbits(np.frombuffer(unpack_sections(buf)[0],
+                                         dtype=np.uint8),
+                           bitorder="little")
+    assert bitmap.sum() <= 1
+    starts, lens = find_runs(img)
+    want = low_entropy_single_eligibility(img[starts], lens)
+    assert bitmap.astype(bool).tolist() == want.tolist()
+    np.testing.assert_array_equal(low_entropy_decode_bytes(buf), img)
+    # incompressible input: no symbol saves -> zero bits, pure verbatim
+    flat = np.arange(256, dtype=np.uint8)
+    buf2 = low_entropy_encode_bytes(flat, single=True)
+    bm2 = np.frombuffer(unpack_sections(buf2)[0], dtype=np.uint8)
+    assert not bm2.any()
+    np.testing.assert_array_equal(low_entropy_decode_bytes(buf2), flat)
