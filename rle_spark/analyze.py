@@ -98,17 +98,19 @@ class _TaskRunFold:
     """
 
     def __init__(self, sink):
-        self.sink = sink
-        self.cur: tuple | None = None   # open run (value, len)
+        self.sink = sink  # sink(vals, lens, local_starts)
+        self.cur: tuple | None = None   # open run (value, len, local_start)
         self.first: tuple | None = None  # first CLOSED run of the task
         self._closed_any = False
+        self._row0 = 0  # local row index of the next feed()'s first row
 
-    def _close(self, v, ln: int) -> None:
+    def _close(self, v, ln: int, s0: int) -> None:
         if not self._closed_any:
-            self.first = (v, ln)
+            self.first = (v, ln)  # a task's first run starts at local 0
             self._closed_any = True
         else:
-            self.sink(np.asarray([v]), np.asarray([ln], dtype=np.int64))
+            self.sink(np.asarray([v]), np.asarray([ln], dtype=np.int64),
+                      np.asarray([s0], dtype=np.int64))
 
     def feed(self, a: np.ndarray) -> None:
         n = len(a)
@@ -117,25 +119,31 @@ class _TaskRunFold:
         starts, lens = find_runs(a)
         vals = a[starts]
         k = len(starts)
+        row0 = self._row0
+        self._row0 += n
         i0 = 0
         if self.cur is not None:
             if vals[0] == self.cur[0]:
                 if k == 1:
-                    self.cur = (self.cur[0], self.cur[1] + n)
+                    self.cur = (self.cur[0], self.cur[1] + n, self.cur[2])
                     return
-                self._close(self.cur[0], self.cur[1] + int(lens[0]))
+                self._close(self.cur[0], self.cur[1] + int(lens[0]),
+                            self.cur[2])
                 i0 = 1
             else:
                 self._close(*self.cur)
         if k - 1 > i0:
             if not self._closed_any:
                 self._close(vals[i0].item() if hasattr(vals[i0], "item")
-                            else vals[i0], int(lens[i0]))
+                            else vals[i0], int(lens[i0]),
+                            row0 + int(starts[i0]))
                 i0 += 1
             if k - 1 > i0:
-                self.sink(vals[i0:k - 1], lens[i0:k - 1])
+                self.sink(vals[i0:k - 1], lens[i0:k - 1],
+                          starts[i0:k - 1] + row0)
         v = vals[k - 1]
-        self.cur = (v.item() if hasattr(v, "item") else v, int(lens[k - 1]))
+        self.cur = (v.item() if hasattr(v, "item") else v,
+                    int(lens[k - 1]), row0 + int(starts[k - 1]))
 
     def boundary(self) -> list[tuple]:
         """(kind, value, len) exports: kind 1=first closed run,
@@ -337,7 +345,7 @@ def run_stats(df: DataFrame, col: str, order: list[str]) -> DataFrame:
         pid = -1
         acc: dict = {}  # value -> [n_runs, total_len, max_run_len]
 
-        def sink(vals: np.ndarray, lens: np.ndarray) -> None:
+        def sink(vals: np.ndarray, lens: np.ndarray, _s0) -> None:
             g = (pd.Series(lens).groupby(pd.Series(vals))
                  .agg(["count", "sum", "max"]))
             for v, (c, s, m) in g.iterrows():
@@ -431,7 +439,7 @@ def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame
         pid = -1
         hist = np.zeros(64, dtype=np.int64)
 
-        def sink(_vals: np.ndarray, lens: np.ndarray) -> None:
+        def sink(_vals: np.ndarray, lens: np.ndarray, _s0) -> None:
             np.add.at(hist, _bit_class_vec(np.asarray(lens)), 1)
 
         fold = _TaskRunFold(sink)
@@ -552,101 +560,178 @@ def column_codec_stats(df: DataFrame, cols: list[str],
               "n_distinct long, n_runs long")
 
 
-def _ref_model_size(runs: DataFrame, n_total: int) -> int:
-    """Reference width-8 RLE size (model v1) from a global run list.
+class _RefModelAcc:
+    """Per-task, per-column model partials over INTERIOR runs (the
+    task's first/last runs are boundary-merged on the driver). Same
+    semantics as codecs.refmodel.ref_rle_size_model_v1 for sym_bytes=1:
+    eligible runs (len >= 5) measure their copy gap to the END of the
+    previous eligible run; emitted iff gap+1 <= 255 or len >= 12. The
+    first local candidate's gap depends on earlier tasks, so it is
+    exported and resolved on the driver."""
 
-    Semantics identical to codecs.refmodel.ref_rle_size_model_v1 for
-    sym_bytes=1: eligible runs (len >= 5) measure their copy gap to the
-    END of the previous eligible run; emitted iff gap+1 <= 255 or
-    len >= 11. The gap needs each eligible run's predecessor, so the
-    candidate list is range-partitioned on position, the lag computed
-    per task, and only each task's FIRST candidate (O(P) rows) resolved
-    on the driver against the preceding task's last candidate end.
-    """
-    cand = (runs.filter(F.col("run_len") >= _ELIG_MIN)
-            .select((F.col("start_rn") - 1).alias("s0"), "run_len")
-            .repartitionByRange(F.col("s0"))
-            .sortWithinPartitions("s0")
-            .withColumn("pid", F.spark_partition_id()))
+    def __init__(self):
+        self.first_cand: tuple | None = None  # (local_start, len)
+        self.last_end = 0   # local end of the last candidate seen
+        self.cmd = 0
+        self.len = 0
+        self.has = False
 
-    def contribution(lens: np.ndarray, rng: np.ndarray) -> tuple[int, int]:
-        stored = lens - (_ELIG_MIN - 1)
-        count_b = np.where(stored <= 255, 1, 5)
-        short_ok = rng <= 255
-        emitted = short_ok | (lens >= _LONG_MIN)
-        cmd = 1 + count_b + np.where(short_ok, 1, 5)
-        return int(cmd[emitted].sum()), int(lens[emitted].sum())
+    def sink(self, _vals: np.ndarray, lens: np.ndarray,
+             starts: np.ndarray) -> None:
+        elig = lens >= _ELIG_MIN
+        if not elig.any():
+            return
+        s0 = np.asarray(starts)[elig].astype(np.int64)
+        L = np.asarray(lens)[elig].astype(np.int64)
+        ends = s0 + L
+        if not self.has:
+            self.first_cand = (int(s0[0]), int(L[0]))
+            prev = np.concatenate(([ends[0]], ends[:-1]))
+            c, l = _model_contribution(L[1:], s0[1:] - prev[1:] + 1)
+            self.has = True
+        else:
+            prev = np.concatenate(([np.int64(self.last_end)], ends[:-1]))
+            c, l = _model_contribution(L, s0 - prev + 1)
+        self.cmd += c
+        self.len += l
+        self.last_end = int(ends[-1])
 
-    def it(batches: Iterable[pd.DataFrame]):
-        pid = -1
-        first: tuple[int, int] | None = None
-        prev_end: int | None = None
-        cmd_sum = len_sum = 0
-        last_end = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pid < 0:
-                pid = int(pdf["pid"].iloc[0])
-            s0 = pdf["s0"].to_numpy(np.int64)
-            lens = pdf["run_len"].to_numpy(np.int64)
-            ends = s0 + lens
-            if prev_end is None:
-                first = (int(s0[0]), int(lens[0]))
-                prev = np.concatenate(([np.int64(ends[0])], ends[:-1]))
-                # first candidate excluded from local sums (rng unknown)
-                c, l = contribution(lens[1:], s0[1:] - prev[1:] + 1)
-            else:
-                prev = np.concatenate(([np.int64(prev_end)], ends[:-1]))
-                c, l = contribution(lens, s0 - prev + 1)
-            cmd_sum += c
-            len_sum += l
-            prev_end = int(ends[-1])
-            last_end = prev_end
-        if pid >= 0:
-            yield pd.DataFrame({
-                "pid": [pid], "cmd_sum": [cmd_sum], "len_sum": [len_sum],
-                "first_s0": [first[0] if first else -1],
-                "first_len": [first[1] if first else -1],
-                "last_end": [last_end]})
 
-    parts = sorted(cand.mapInPandas(
-        it, "pid int, cmd_sum long, len_sum long, first_s0 long, "
-            "first_len long, last_end long").collect(), key=lambda r: r.pid)
-
-    cmd_total = len_total = 0
-    chain_end = 0  # end of the last candidate seen so far, across tasks
-    for r in parts:
-        cmd_total += r.cmd_sum
-        len_total += r.len_sum
-        if r.first_s0 >= 0:
-            lens = np.array([r.first_len], dtype=np.int64)
-            rng = np.array([r.first_s0 - chain_end + 1], dtype=np.int64)
-            c, l = contribution(lens, rng)
-            cmd_total += c
-            len_total += l
-        chain_end = r.last_end
-    return 8 + cmd_total + (n_total - len_total) + 1 + 10
+def _model_contribution(lens: np.ndarray, rng: np.ndarray) -> tuple[int, int]:
+    stored = lens - (_ELIG_MIN - 1)
+    count_b = np.where(stored <= 255, 1, 5)
+    short_ok = rng <= 255
+    emitted = short_ok | (lens >= _LONG_MIN)
+    cmd = 1 + count_b + np.where(short_ok, 1, 5)
+    return int(cmd[emitted].sum()), int(lens[emitted].sum())
 
 
 def ref_rle8_size_v1(df: DataFrame, cols: list[str],
                      order: list[str]) -> DataFrame:
     """Reference width-8 RLE size (model v1) of each single-char string
-    column's byte stream (codecs.refmodel.ref_rle_size_model_v1),
-    computed from ONE distributed multi-column run pass; only the tiny
-    candidate-run model passes run per column."""
-    with _release_persists_after():
-        runs = partition_runs_multi(df, cols, order)
-        totals = {r.col_name: int(r.n) for r in
-                  runs.groupBy("col_name")
-                  .agg(F.sum("run_len").alias("n")).collect()}
-        out = []
+    column's byte stream (codecs.refmodel.ref_rle_size_model_v1), in
+    ONE range shuffle + one kernel pass: run detection AND the model
+    partials are fused per task (_RefModelAcc); the driver resolves the
+    O(P·C) boundary — merged edge runs and each task's first candidate
+    gap — without ever materializing or re-shuffling the run table."""
+    vtypes = {c: df.schema[c].dataType.simpleString() for c in cols}
+    assert len(set(vtypes.values())) == 1, "cols must share a type"
+    arranged = _ranged(df, cols, order)
+    schema = (f"pid int, col_name string, n long, "
+              f"first_v {vtypes[cols[0]]}, first_l long, "
+              f"last_v {vtypes[cols[0]]}, last_l long, only boolean, "
+              "cand_s long, cand_l long, cmd long, lensum long, "
+              "last_end long, has_cand boolean")
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        folds = {}
+        accs = {c: _RefModelAcc() for c in cols}
         for c in cols:
-            n_total = totals.get(c, 0)
-            runs_c = (runs.filter(F.col("col_name") == c)
-                      .select("start_rn", "value", "run_len"))
-            out.append((c, int(_ref_model_size(runs_c, n_total))
-                        if n_total else 8))
+            folds[c] = _TaskRunFold(accs[c].sink)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            n += len(pdf)
+            for c in cols:
+                folds[c].feed(_as_comparable(pdf[c].to_numpy()))
+        if pid < 0:
+            return
+        rows = []
+        for c in cols:
+            acc, bound = accs[c], folds[c].boundary()
+            first_v = first_l = last_v = last_l = None
+            only = False
+            for kind, v, ln in bound:
+                if kind == 3:
+                    first_v, first_l, only = v, ln, True
+                elif kind == 1:
+                    first_v, first_l = v, ln
+                else:
+                    last_v, last_l = v, ln
+            rows.append((pid, c, n, first_v, first_l or 0, last_v,
+                         last_l or 0, only,
+                         acc.first_cand[0] if acc.first_cand else -1,
+                         acc.first_cand[1] if acc.first_cand else 0,
+                         acc.cmd, acc.len, acc.last_end, acc.has))
+        yield pd.DataFrame(rows, columns=[
+            "pid", "col_name", "n", "first_v", "first_l", "last_v",
+            "last_l", "only", "cand_s", "cand_l", "cmd", "lensum",
+            "last_end", "has_cand"])
+
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+    # driver: per-column O(P) walk — global offsets, boundary-run merge,
+    # candidate chain (gap to previous eligible end) across tasks
+    offsets: dict[int, int] = {}
+    acc_rows = 0
+    for r in parts:
+        if r.col_name == cols[0]:
+            offsets[r.pid] = acc_rows
+            acc_rows += r.n
+    out = []
+    for c in cols:
+        cmd_total = len_total = n_total = 0
+        chain_end = 0
+        pend: list | None = None  # [value, len, global_start]
+
+        def close_run(v, ln: int, s0: int) -> None:
+            nonlocal chain_end, cmd_total, len_total
+            if ln < _ELIG_MIN:
+                return
+            rng = s0 - chain_end + 1
+            stored = ln - (_ELIG_MIN - 1)
+            count_b = 1 if stored <= 255 else 5
+            short_ok = rng <= 255
+            if short_ok or ln >= _LONG_MIN:
+                cmd_total += 1 + count_b + (1 if short_ok else 5)
+                len_total += ln
+            chain_end = s0 + ln
+
+        def close_pend() -> None:
+            nonlocal pend
+            if pend is not None:
+                close_run(pend[0], pend[1], pend[2])
+                pend = None
+
+        for r in (p for p in parts if p.col_name == c):
+            if r.first_v is None and not r.only:
+                continue  # empty task
+            off = offsets[r.pid]
+            n_total += r.n
+            if r.only:
+                if pend is not None and pend[0] == r.first_v:
+                    pend[1] += r.first_l
+                else:
+                    close_pend()
+                    pend = [r.first_v, r.first_l, off]
+                continue
+            if pend is not None and pend[0] == r.first_v:
+                pend[1] += r.first_l
+                close_pend()
+            else:
+                close_pend()
+                close_run(r.first_v, r.first_l, off)
+            if r.has_cand:
+                # first interior candidate: gap resolved against the
+                # chain, then the task's local sums ride along
+                rng = off + r.cand_s - chain_end + 1
+                stored = r.cand_l - (_ELIG_MIN - 1)
+                count_b = 1 if stored <= 255 else 5
+                short_ok = rng <= 255
+                if short_ok or r.cand_l >= _LONG_MIN:
+                    cmd_total += 1 + count_b + (1 if short_ok else 5)
+                    len_total += r.cand_l
+                cmd_total += r.cmd
+                len_total += r.lensum
+                chain_end = off + r.last_end
+            pend = [r.last_v, r.last_l, off + r.n - r.last_l]
+        close_pend()
+        out.append((c, int(8 + cmd_total + (n_total - len_total) + 1 + 10)
+                    if n_total else 8))
     return df.sparkSession.createDataFrame(
         out, "col_name string, model_bytes long")
 

@@ -193,3 +193,29 @@ def test_partition_runs_empty(spark):
     df = spark.createDataFrame(pd.DataFrame({"pos": [], "ch": []}),
                                "pos long, ch string")
     assert analyze.partition_runs(df, "ch", ["pos"]).count() == 0
+
+
+def test_ref_rle8_size_fused_matches_exact_model(spark):
+    """The fused kernel+driver chain of ref_rle8_size_v1 must equal
+    codecs.refmodel.ref_rle_size_model_v1 on the same byte stream,
+    including under heavy task fragmentation (48 partitions) where
+    every candidate chain crosses task edges."""
+    from rle_spark.codecs.refmodel import ref_rle_size_model_v1
+    rng = np.random.default_rng(17)
+    # long runs (model-eligible), short runs, and literals mixed
+    chars = np.repeat(np.array(list("ABC"))[rng.integers(0, 3, 900)],
+                      rng.choice([1, 1, 2, 5, 9, 40, 300],
+                                 900, p=[.3, .2, .2, .1, .1, .05, .05]))
+    other = np.array(list("XY"))[rng.integers(0, 2, len(chars))]
+    pdf = pd.DataFrame({"pos": np.arange(len(chars)),
+                        "c1": chars, "c2": other})
+    df = spark.createDataFrame(pdf).repartition(48)
+    got = {r.col_name: r.model_bytes for r in
+           analyze.ref_rle8_size_v1(df, ["c1", "c2"], ["pos"]).collect()}
+    want = {
+        "c1": ref_rle_size_model_v1(chars.astype("U1").view(np.uint32)
+                                    .astype(np.uint8)),
+        "c2": ref_rle_size_model_v1(other.astype("U1").view(np.uint32)
+                                    .astype(np.uint8)),
+    }
+    assert got == want
