@@ -36,6 +36,40 @@ def fuzz_tokens(seed: int, n_sections: int = 6, vocab: int = 2**31 - 2,
     return np.concatenate(parts).astype(np.int32) if parts else np.zeros(0, np.int32)
 
 
+def exhaustive_cases(sym_lens=(1, 2, 3, 4, 8, 16),
+                     small_max: int = 280):
+    """Deterministic EXHAUSTIVE sweep, the iterative-mode analogue of
+    /root/reference/src/rle_fuzz.c:159-283: section lengths step
+    through the small regime one by one (1..280) and the medium regime
+    with the reference's *17/16 growth (768..8192); section order
+    alternates (symbol-first / random-first); symbol length sweeps
+    sym_lens, each unbound and (for k>1) aligned to the symbol length.
+    Yields (case_id, tokens) with a fixed random tail per configuration
+    so every case is reproducible."""
+    def lengths():
+        yield from range(1, small_max + 1)            # flt_small: +1
+        cur = 768                                     # flt_medium: *17/16
+        while cur <= 8192:
+            yield cur
+            cur = cur * 17 // 16
+    for k in sym_lens:
+        for bound in ((False,) if k == 1 else (False, True)):
+            rng = np.random.default_rng(1000 * k + bound)
+            pool = rng.integers(0, 2**31 - 2, 16)
+            sym = rng.choice(pool, k)
+            tail = rng.integers(0, 2**31 - 2, 37).astype(np.int64)
+            for order in ("sym_first", "rand_first"):
+                for L in lengths():
+                    if bound and L % k:
+                        continue
+                    reps = L // k + 1
+                    body = np.tile(sym, reps)[:L]
+                    parts = ([body, tail] if order == "sym_first"
+                             else [tail, body])
+                    yield (f"k{k}_b{int(bound)}_{order}_L{L}",
+                           np.concatenate(parts).astype(np.int32))
+
+
 def boundary_cases() -> dict[str, np.ndarray]:
     """FIXTURES.md edge-case checklist: run lengths at the exact
     min-range/count-escape boundaries of the reference formats."""

@@ -283,3 +283,25 @@ def test_low_entropy_single_restricts_to_argmax_symbol():
     bm2 = np.frombuffer(unpack_sections(buf2)[0], dtype=np.uint8)
     assert not bm2.any()
     np.testing.assert_array_equal(low_entropy_decode_bytes(buf2), flat)
+
+
+@pytest.mark.parametrize("codec", ["rle8", "rle16_sym", "rle24_sym",
+                                   "rle32_sym", "rle64_sym",
+                                   "dict_bitpack", "rle16_byte",
+                                   "rle32_byte", "rle8_le_single"])
+def test_exhaustive_length_sweep(codec):
+    """Iterative fuzz mode (rle_fuzz.c:159-283 analogue): EVERY small
+    section length 1..280 plus the 17/16-stepped medium regime, for
+    every symbol length x alignment x section order — no sampling.
+    The multi-width RLE family is where length/alignment boundaries
+    live."""
+    from tests.fuzzgen import exhaustive_cases
+    n = 0
+    for case_id, toks in exhaustive_cases():
+        payload = encode_with(codec, toks)
+        if payload is None:  # codec declined (selector falls back) — fine
+            continue
+        got = decode_with(codec, payload, len(toks))
+        assert np.array_equal(got, toks), f"{codec} failed on {case_id}"
+        n += 1
+    assert n > 2000  # the sweep really is exhaustive, not sampled
