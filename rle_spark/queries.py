@@ -31,6 +31,12 @@ def q_run_stats_returnflag(spark, sf_dir):
 
 
 def q_run_extract_orderstatus(spark, sf_dir):
+    # run_extract returns the lazy run table, which must stay pinned
+    # until consumed (analyze._PERSIST_POOL). The query surface is
+    # consumed strictly sequentially (driver/bench contract), so
+    # releasing PREVIOUS calls' pins here caps the pool at one table
+    # no matter how many times the bench loop re-runs the query.
+    analyze.clear_run_cache()
     return analyze.run_extract(_t(spark, sf_dir, "orders"),
                                "o_orderstatus", ["o_orderkey"])
 

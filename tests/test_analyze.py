@@ -219,3 +219,18 @@ def test_ref_rle8_size_fused_matches_exact_model(spark):
                                     .astype(np.uint8)),
     }
     assert got == want
+
+
+def test_query_surface_persist_pool_bounded(spark):
+    """Repeated analyze-family query calls (the bench loop) keep at
+    most ONE pinned intermediate: run_extract releases previous pins at
+    entry; every other rewritten query releases its own before return."""
+    from rle_spark import queries as Q
+    sf = "/root/testdata/sf0.001"
+    analyze.clear_run_cache()
+    for _ in range(3):
+        Q.q_run_extract_orderstatus(spark, sf).count()
+        Q.q_run_stats_returnflag(spark, sf).count()
+        Q.q_ref_rle8_size(spark, sf).count()
+    assert len(analyze._PERSIST_POOL) <= 1
+    analyze.clear_run_cache()
