@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": Q.q_ann_topk,
         "ivf_topk": Q.q_ivf_topk,
         "cosine_near_dup": Q.q_cosine_near_dup,
+        "cosine_near_dup_pinned": Q.q_cosine_near_dup_pinned,
         "cosine_near_dup_auto": Q.q_cosine_near_dup_auto,
         # streaming ingest + multimodal plumbing (oracle-gated)
         "streaming_backfill": Q.q_streaming_backfill,
@@ -365,22 +366,36 @@ def oracle_sql() -> dict[str, str]:
                  i -> md5(substr(text, i, 32)))) AS fingerprint
       FROM documents ORDER BY doc_id"""
 
-    from rle_spark.similarity import (cosine_near_dup_oracle_sql,
+    from rle_spark.similarity import (NEAR_DUP_PLANES,
+                                      cosine_near_dup_oracle_sql,
                                       ivf_oracle_sql, quantize_oracle_sql)
-    sql["cosine_near_dup"] = cosine_near_dup_oracle_sql()
 
-    # auto-grid variant: the plane count is derived from the corpus size
-    # (auto_n_planes) — frozen here from the sf0.01 training-table row
-    # count exactly the way the IVF oracle freezes its centroids; the
-    # Spark query computes it live from emb.count()
+    # auto-derived plane counts: frozen from the oracle corpus row count
+    # exactly the way the IVF oracle freezes its centroids; the Spark
+    # queries compute them live from emb.count(). The fixture read is
+    # env-overridable and guarded (round-3 advice): the frozen counts
+    # come from whichever sf dir the correctness driver compares at.
     import pyarrow.parquet as _pq
     from rle_spark.similarity import auto_n_planes
-    _nd_rows = _pq.ParquetFile(
-        "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
-    _auto_planes = auto_n_planes(_nd_rows, Q.AUTO_ND_TARGET_BUCKET,
-                                 Q.AUTO_ND_MIN_PLANES)
+    _nd_fixture = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet")
+    try:
+        _nd_rows = _pq.ParquetFile(_nd_fixture).metadata.num_rows
+    except OSError:
+        _nd_rows = 500  # the sf0.01 corpus this oracle shipped against
+
+    # default shape = auto grid at the library defaults (target 256,
+    # floor NEAR_DUP_PLANES): resolves to the old pinned 6 at 500 rows
+    sql["cosine_near_dup"] = cosine_near_dup_oracle_sql(
+        n_planes=auto_n_planes(_nd_rows, 256, NEAR_DUP_PLANES))
+    # fixed-grid regression shape
+    sql["cosine_near_dup_pinned"] = cosine_near_dup_oracle_sql(
+        n_planes=NEAR_DUP_PLANES)
+    # aggressive auto grid whose plane count provably varies at sf0.01
     sql["cosine_near_dup_auto"] = cosine_near_dup_oracle_sql(
-        n_planes=_auto_planes)
+        n_planes=auto_n_planes(_nd_rows, Q.AUTO_ND_TARGET_BUCKET,
+                               Q.AUTO_ND_MIN_PLANES))
 
     sql["embedding_quantize"] = quantize_oracle_sql()
 

@@ -41,7 +41,7 @@ BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "96000"))
 # lo/hi/lo/hi (best-of) to cancel the host's slow drifting phases.
 _SP = os.environ.get("RLE_BENCH_SCALE_PAIR", "1,4").split(",")
 SCALE_PAIR = (int(_SP[0]), int(_SP[1]))
-SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "3"))
+SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "5"))
 
 HEADLINE = [
     "encode_manifest", "roundtrip_matches", "tokenize_stats",
@@ -52,7 +52,7 @@ HEADLINE = [
     "near_dup_buckets", "simhash", "ngram_jaccard_pairs", "doc_fingerprint",
     "quality_by_source", "langid_counts", "embedding_quantize",
     "ann_topk", "ivf_topk",
-    "cosine_near_dup", "cosine_near_dup_auto",
+    "cosine_near_dup", "cosine_near_dup_pinned", "cosine_near_dup_auto",
     "streaming_backfill", "multimodal_features",
     "pricing_summary", "revenue_by_nation", "token_runs_by_source",
 ]
@@ -231,30 +231,40 @@ def per_codec_entropy(out_dir: str) -> dict:
     GetInformationRatio applied per codec output): for each codec
     actually selected on the bench corpus, the byte-histogram entropy of
     its payload normalized by log2(distinct bytes), alongside its ratio —
-    `rh` = ratio * info_ratio is the reference benchmark-table column."""
+    `rh` = ratio * info_ratio is the reference benchmark-table column.
+    `dec_GBps` is the single-thread decode throughput over the same
+    blocks (the reference benchmark's per-codec decode MiB/s column,
+    README.md tables): orig bytes / wall of decode_with replaying every
+    block of that codec once, payloads pre-materialized so the timing
+    excludes parquet IO."""
     import glob as g
+    import time as _time
 
     import numpy as np
     import pyarrow.parquet as pq
+
+    from rle_spark.codecs.registry import decode_with
     stats: dict = {}
     for f in g.glob(os.path.join(out_dir, "blocks", "**", "*.parquet"),
                     recursive=True):
-        t = pq.read_table(f, columns=["codec", "payload",
+        t = pq.read_table(f, columns=["codec", "payload", "n_tokens",
                                       "orig_bytes", "comp_bytes"])
         codecs = t.column("codec").to_pylist()
         orig = t.column("orig_bytes").to_pylist()
         comp = t.column("comp_bytes").to_pylist()
+        ntok = t.column("n_tokens").to_pylist()
         pay = t.column("payload")
         for i, cname in enumerate(codecs):
             st = stats.setdefault(
-                cname, [0, 0, 0, np.zeros(256, dtype=np.int64)])
+                cname, [0, 0, 0, np.zeros(256, dtype=np.int64), []])
             st[0] += 1
             st[1] += orig[i]
             st[2] += comp[i]
             buf = np.frombuffer(pay[i].as_buffer(), dtype=np.uint8)
             st[3] += np.bincount(buf, minlength=256)
+            st[4].append((bytes(buf), int(ntok[i])))
     out = {}
-    for cname, (n, o, c, hist) in sorted(stats.items()):
+    for cname, (n, o, c, hist, blocks) in sorted(stats.items()):
         tot = int(hist.sum())
         nz = hist[hist > 0]
         if tot and len(nz) > 1:
@@ -263,10 +273,15 @@ def per_codec_entropy(out_dir: str) -> dict:
         else:
             ir = 0.0
         r = (c / o) if o else 1.0
+        t0 = _time.time()
+        for payload, nt in blocks:
+            decode_with(cname, payload, nt)
+        dwall = _time.time() - t0
         out[cname] = {"blocks": n, "orig_bytes": int(o),
                       "comp_bytes": int(c), "ratio": round(r, 4),
                       "info_ratio": round(ir, 4),
-                      "rh": round(r * ir, 4)}
+                      "rh": round(r * ir, 4),
+                      "dec_GBps": round(o / dwall / 1e9, 3) if dwall else None}
     return out
 
 
@@ -327,13 +342,11 @@ def main():
         # reference tracks the fastest run the same way, src/main.c:828).
         # The host's slow memory phases last MINUTES (BENCH.md): extra
         # in-JVM reps inside one subprocess all land in the same phase,
-        # so the variance lever is extra fresh-JVM ROUNDS spaced over
-        # time — after the base rounds, keep adding interleaved rounds
-        # (both legs equally, so min/min stays a fair fastest-run pair)
-        # until the best-of efficiency clears the target or the round
-        # budget is exhausted, and record every raw wall in the JSON.
-        eff_target = float(os.environ.get("RLE_BENCH_EFF_TARGET", "0.82"))
-        max_extra = int(os.environ.get("RLE_BENCH_EXTRA_ROUNDS", "3"))
+        # so the variance lever is fresh-JVM ROUNDS spaced over time.
+        # FIXED round count (round-3 advice): a result-conditioned
+        # stopping rule was an optional-stopping bias on the best-of
+        # headline; now every run does exactly SCALE_RUNS rounds and
+        # records every raw wall plus the per-round efficiency band.
         legs: dict[int, list] = {lo: [], hi: []}
 
         def one_round():
@@ -350,12 +363,6 @@ def main():
             one_round()
             log(f"scaling round {i + 1}/{SCALE_RUNS}: "
                 f"best-of eff so far {best_eff():.3f}")
-        extra = 0
-        while best_eff() < eff_target and extra < max_extra:
-            extra += 1
-            one_round()
-            log(f"scaling extra round {extra}/{max_extra}: "
-                f"best-of eff {best_eff():.3f}")
         r_lo = min(legs[lo], key=lambda r: r["wall_sec"])
         r_lo["walls"] = [r["wall_sec"] for r in legs[lo]]
         r_hi = min(legs[hi], key=lambda r: r["wall_sec"])

@@ -37,11 +37,52 @@ _LONG_MIN = 12  # min_long  for sym_bytes=1: 1+1+4+4+2 (refmodel._min_long)
 
 # Persisted intermediates (the run kernels must pin their output so the
 # boundary collect and the downstream consumer see the SAME range
-# partitioning). Queries that return lazy DataFrames keep theirs alive
-# for the session (Spark evicts LRU-to-disk); fully-consuming queries
-# release theirs via _release_persists_after. clear_run_cache() frees
-# everything between analyses in long sessions.
-_PERSIST_POOL: list = []
+# partitioning). Each pool entry is (owner_tag, df): queries that
+# return lazy DataFrames tag their pins (via _pool_owner) so a later
+# call of the SAME query can release exactly its predecessors' pins —
+# never an unrelated query's still-unconsumed intermediate (round-3
+# advice). Fully-consuming queries release theirs via
+# _release_persists_after; clear_run_cache() frees everything between
+# analyses in long sessions.
+_PERSIST_POOL: list[tuple[str | None, object]] = []
+_CURRENT_OWNER: str | None = None
+
+
+def _pool_append(df) -> None:
+    _PERSIST_POOL.append((_CURRENT_OWNER, df))
+
+
+class _pool_owner:
+    """Context manager: pins created inside the block are tagged with
+    `tag`, making them individually releasable via release_pins(tag)."""
+
+    def __init__(self, tag: str):
+        self.tag = tag
+
+    def __enter__(self):
+        global _CURRENT_OWNER
+        self.prev = _CURRENT_OWNER
+        _CURRENT_OWNER = self.tag
+        return self
+
+    def __exit__(self, *exc):
+        global _CURRENT_OWNER
+        _CURRENT_OWNER = self.prev
+        return False
+
+
+def release_pins(tag: str) -> None:
+    """Unpersist only the intermediates pinned under `tag` — the scoped
+    release for a query that is about to re-create its own pinned
+    lineage and knows its PREVIOUS result is no longer consumed."""
+    global _PERSIST_POOL
+    keep = []
+    for owner, cached in _PERSIST_POOL:
+        if owner == tag:
+            cached.unpersist()
+        else:
+            keep.append((owner, cached))
+    _PERSIST_POOL = keep
 
 
 def clear_run_cache() -> None:
@@ -49,7 +90,7 @@ def clear_run_cache() -> None:
     Only call when no DataFrame returned by this module is still in
     use — a recompute after eviction would re-sample range boundaries
     and desynchronize the already-merged offsets."""
-    for cached in _PERSIST_POOL:
+    for _owner, cached in _PERSIST_POOL:
         cached.unpersist()
     _PERSIST_POOL.clear()
 
@@ -63,7 +104,7 @@ class _release_persists_after:
         return self
 
     def __exit__(self, *exc):
-        for cached in _PERSIST_POOL[self.i0:]:
+        for _owner, cached in _PERSIST_POOL[self.i0:]:
             cached.unpersist()
         del _PERSIST_POOL[self.i0:]
         return False
@@ -281,7 +322,7 @@ def partition_runs_multi(df: DataFrame, cols: list[str],
 
     runs_local = (arranged.mapInPandas(it, out_schema)
                   .persist(StorageLevel.MEMORY_AND_DISK))
-    _PERSIST_POOL.append(runs_local)
+    _pool_append(runs_local)
 
     # --- driver-side O(P*C) control flow (the offset-table merge) ---
     boundary = runs_local.filter(F.col("is_first") | F.col("is_last")).collect()
@@ -768,7 +809,7 @@ def with_global_rn(df: DataFrame, col: str, order: list[str]) -> DataFrame:
 
     base = (arranged.mapInPandas(it, f"pid int, li long, value {vtype}")
             .persist(StorageLevel.MEMORY_AND_DISK))
-    _PERSIST_POOL.append(base)
+    _pool_append(base)
     cnts = {r.pid: r.cnt for r in
             base.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -798,7 +839,7 @@ def sym_width_run_histogram(df: DataFrame, col: str, order: list[str],
     with _release_persists_after():
         arranged = (_ranged(df, [col], order)
                     .persist(StorageLevel.MEMORY_AND_DISK))
-        _PERSIST_POOL.append(arranged)
+        _pool_append(arranged)
         # O(P) pass over the persisted slices: per-task row offsets give
         # each task its global symbol alignment phase
         cnts = {r.pid: r.cnt for r in

@@ -32,13 +32,14 @@ def q_run_stats_returnflag(spark, sf_dir):
 
 def q_run_extract_orderstatus(spark, sf_dir):
     # run_extract returns the lazy run table, which must stay pinned
-    # until consumed (analyze._PERSIST_POOL). The query surface is
-    # consumed strictly sequentially (driver/bench contract), so
-    # releasing PREVIOUS calls' pins here caps the pool at one table
-    # no matter how many times the bench loop re-runs the query.
-    analyze.clear_run_cache()
-    return analyze.run_extract(_t(spark, sf_dir, "orders"),
-                               "o_orderstatus", ["o_orderkey"])
+    # until consumed (analyze._PERSIST_POOL). Releasing only PREVIOUS
+    # run_extract pins (scoped by owner tag, round-3 advice) caps the
+    # pool at one table across bench re-runs without ever touching an
+    # unrelated query's still-unconsumed intermediate.
+    analyze.release_pins("run_extract")
+    with analyze._pool_owner("run_extract"):
+        return analyze.run_extract(_t(spark, sf_dir, "orders"),
+                                   "o_orderstatus", ["o_orderkey"])
 
 
 def q_ref_rle8_size(spark, sf_dir):
@@ -138,7 +139,19 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_cosine_near_dup(spark, sf_dir):
+    """DEFAULT shape (round 4): n_planes auto-derived from the corpus
+    (target bucket 256, floor NEAR_DUP_PLANES) — the scale-safe path a
+    user gets without tuning. At the sf0.01 oracle corpus (500 vectors)
+    the auto grid resolves to the same 6 planes as the old pinned
+    default, so the frozen oracle stays byte-identical."""
     return (similarity.cosine_near_dup(_t(spark, sf_dir, "embeddings"))
+            .orderBy("vec_a", "vec_b"))
+
+
+def q_cosine_near_dup_pinned(spark, sf_dir):
+    """Fixed-grid regression shape: explicit n_planes=NEAR_DUP_PLANES."""
+    return (similarity.cosine_near_dup(_t(spark, sf_dir, "embeddings"),
+                                       n_planes=similarity.NEAR_DUP_PLANES)
             .orderBy("vec_a", "vec_b"))
 
 

@@ -173,7 +173,7 @@ def _near_dup_pairs_one_table(emb: DataFrame, min_pct: int, n_planes: int,
 
 
 def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
-                    n_planes: int | None = NEAR_DUP_PLANES,
+                    n_planes: int | None = None,
                     seed: int = NEAR_DUP_SEED, dim: int = NEAR_DUP_DIM,
                     n_tables: int = 1,
                     vec_col: str = "embedding",
@@ -185,11 +185,12 @@ def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
     key (work ~ sum of squared bucket sizes, not N^2); the exact
     cosine runs only on candidates.
 
-    n_planes=None sizes the bucket grid from the corpus (auto_n_planes)
-    so candidate volume stays linear at scale; the explicit value is
-    the oracle-checked benchmark shape. n_tables > 1 unions independent
-    plane sets (seed, seed+1, ...) and dedups pairs — the standard
-    recall lever for high-plane-count grids."""
+    n_planes=None (the DEFAULT since round 4) sizes the bucket grid
+    from the corpus (auto_n_planes) so candidate volume stays linear at
+    scale; an explicit value is the pinned regression shape
+    (q_cosine_near_dup_pinned). n_tables > 1 unions independent plane
+    sets (seed, seed+1, ...) and dedups pairs — the standard recall
+    lever for high-plane-count grids."""
     if n_planes is None:
         n_planes = auto_n_planes(emb.count(), auto_target_bucket,
                                  auto_min_planes)

@@ -60,8 +60,21 @@ def plan_parquet_splits(src_dir: str,
     DataFrame (round-2 advice)."""
     import pyarrow.parquet as pq
     units: list[tuple[str, int, int]] = []
-    files = sorted(glob.glob(os.path.join(src_dir, "**", "*.parquet"),
-                             recursive=True))
+    base = os.path.normpath(src_dir)
+
+    def _visible(path: str) -> bool:
+        # same visibility rule as the error check and the block readers:
+        # any '.'- or '_'-prefixed component BELOW src_dir (a crashed
+        # compaction's _blocks_old staging copy, an in-flight .tmp dir)
+        # is invisible — recursive '**' would otherwise traverse it and
+        # silently plan duplicate data (round-3 advice)
+        rel = os.path.relpath(path, base)
+        return not any(part.startswith((".", "_"))
+                       for part in rel.split(os.sep))
+
+    files = sorted(p for p in glob.glob(
+        os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+        if _visible(p))
     if not files and os.path.isdir(src_dir) and any(
             not e.startswith((".", "_")) for e in os.listdir(src_dir)):
         raise ValueError(
