@@ -230,9 +230,186 @@ class _BoundaryRunMerger:
             self.pend = None
 
 
-def _ranged(df: DataFrame, cols: list[str], order: list[str]) -> DataFrame:
+class ParquetSource:
+    """A parquet table path + spark handle. Analyze entry points accept
+    this in place of a DataFrame to enable the shuffle-free arranged
+    fast path (_ranged dispatches on it): when row-group statistics
+    prove the files are RANGE-CLUSTERED on the leading order key
+    (strictly non-overlapping min/max — the Iceberg file-level
+    sort-order layout), tasks read their own row groups with pyarrow
+    and sort locally — no repartitionByRange sampling job, no shuffle,
+    no JVM row->Arrow hop (the same split-shipping transport as
+    sources.py). Falls back to the shuffle path whenever clustering is
+    not provable or the layout is too coarse to parallelize."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self._df = spark.read.parquet(path)
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    @property
+    def sparkSession(self):
+        return self.spark
+
+    def fingerprint(self) -> tuple:
+        import os as _os
+        paths = self._files()
+        sig = tuple((p, _os.path.getsize(p), int(_os.path.getmtime(p)))
+                    for p in paths)
+        return (self.path, sig)
+
+    def _files(self) -> list[str]:
+        import glob as _g
+        import os as _os
+        if _os.path.isdir(self.path):
+            return sorted(
+                p for p in _g.glob(_os.path.join(self.path, "**",
+                                                 "*.parquet"),
+                                   recursive=True)
+                if not any(part.startswith((".", "_")) for part in
+                           _os.path.relpath(p, self.path).split(_os.sep)))
+        return [self.path]
+
+
+def _as_df(src) -> DataFrame:
+    return src._df if isinstance(src, ParquetSource) else src
+
+
+def _plan_sorted_units(src: ParquetSource, order0: str):
+    """Row-group units in leading-order-key order, or None when the
+    metadata cannot PROVE range-clustering: every unit needs min/max
+    stats on order[0], and consecutive units must be STRICTLY
+    non-overlapping (an equal boundary value could let one key0 group
+    span two units, which a per-unit local sort could not repair — the
+    Iceberg manifest-level sort-order check, done here from parquet
+    footers)."""
+    import pyarrow.parquet as pq
+    units = []
+    for f in src._files():
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        try:
+            # physical (footer) column order == arrow order for the
+            # flat tables this path supports
+            idx = pf.schema_arrow.names.index(order0)
+        except ValueError:
+            return None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            units.append((st.min, st.max, f, g))
+    if not units:
+        return None
+    units.sort(key=lambda u: (u[0], u[2], u[3]))
+    for a, b in zip(units, units[1:]):
+        if not (a[1] < b[0]):
+            return None
+    return [(f, g) for _, _, f, g in units]
+
+
+def _lex_violation(keys: list[np.ndarray]) -> bool:
+    """True when consecutive rows violate lexicographic non-decreasing
+    order under the given key columns (vectorized per column)."""
+    n1 = len(keys[0]) - 1
+    if n1 <= 0:
+        return False
+    decided_gt = np.zeros(n1, dtype=bool)
+    eq_so_far = np.ones(n1, dtype=bool)
+    for k in keys:
+        a, b = k[:-1], k[1:]
+        decided_gt |= eq_so_far & (b > a)
+        eq_so_far &= b == a
+    return bool((~(decided_gt | eq_so_far)).any())
+
+
+def _ranged_parquet(src: ParquetSource, cols: list[str],
+                    order: list[str]) -> DataFrame | None:
+    """Shuffle-free arranged (pid, *cols): ship range-clustered
+    row-group splits to tasks (pid = ordinal of the task's first unit —
+    globally ordered because range partitioning of the unit ordinal
+    keeps contiguous ascending unit ranges per task). Each task reads
+    one full row group at a time and sorts it locally on the FULL
+    order-key tuple when needed (a no-op check for already-sorted
+    data); the strict cross-unit non-overlap proof from the footers
+    plus a runtime boundary assert (footer stats could lie) make the
+    concatenation exactly what the shuffle path would produce. Memory
+    per task is bounded by the writer's row-group size, same as a
+    shuffle partition. Declines (None) when the layout is too coarse to
+    parallelize — fewer units than a quarter of the cluster's cores —
+    because riding a 1-row-group file would serialize the kernel."""
+    units = _plan_sorted_units(src, order[0])
+    if units is None:
+        return None
+    spark = src.spark
+    n_units = len(units)
+    dp = spark.sparkContext.defaultParallelism
+    if n_units < max(2, dp // 4):
+        return None
+    need = list(dict.fromkeys([*order, *cols]))
+    fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    if any(c not in fields for c in need):
+        return None
+    n_tasks = min(n_units, dp)
+    rows = [(i, f, int(g)) for i, (f, g) in enumerate(units)]
+    sdf = (spark.createDataFrame(rows, "u int, path string, rg int")
+           .repartitionByRange(n_tasks, "u")
+           .sortWithinPartitions("u"))
+    out_ddl = "pid int, " + ", ".join(f"{c} {fields[c]}" for c in cols)
+    order_cols = list(order)
+    data_cols = list(cols)
+
+    def it(batches: Iterable[pd.DataFrame]):
+        import pyarrow.parquet as pq
+        pid = None
+        prev_max = None  # actual key0 max of the previous unit
+        for spdf in batches:
+            for path, rg, u in zip(spdf["path"], spdf["rg"], spdf["u"]):
+                if pid is None:
+                    pid = int(u)
+                pf = pq.ParquetFile(path)
+                b = pf.read_row_group(int(rg), columns=need).to_pandas()
+                if len(b) == 0:
+                    continue
+                keys = [_as_comparable(b[c].to_numpy())
+                        for c in order_cols]
+                if _lex_violation(keys):
+                    # range-clustered but not row-sorted: local sort
+                    # (np.lexsort keys are least-significant first)
+                    perm = np.lexsort(list(reversed(keys)))
+                    b = b.iloc[perm].reset_index(drop=True)
+                    keys = [k[perm] for k in keys]
+                if prev_max is not None and keys[0][0] <= prev_max:
+                    raise ValueError(
+                        f"presorted fast path: row group {rg} of {path} "
+                        f"overlaps its predecessor on {order_cols[0]} — "
+                        "the footer statistics are wrong")
+                prev_max = keys[0][-1]
+                step = 1 << 16
+                for lo in range(0, len(b), step):
+                    c = b.iloc[lo:lo + step]
+                    yield pd.DataFrame(
+                        {"pid": pid, **{col: c[col] for col in data_cols}})
+
+    return sdf.mapInPandas(it, out_ddl)
+
+
+def _ranged(df, cols: list[str], order: list[str]) -> DataFrame:
     """Range-shuffle rows on the order keys: each task gets a contiguous
-    sorted slice (the rle8m subsection analogue)."""
+    sorted slice (the rle8m subsection analogue). For a ParquetSource
+    whose footers prove the table is range-clustered on the leading
+    order key, ride the file's own layout instead (zero shuffle, zero
+    sampling job, per-unit local sort) — the boundary-merge logic
+    downstream is identical."""
+    if isinstance(df, ParquetSource):
+        fast = _ranged_parquet(df, cols, order)
+        if fast is not None:
+            return fast
+        df = df._df
     return (df.select(*dict.fromkeys([*order, *cols]))
             .repartitionByRange(*[F.col(c) for c in order])
             .sortWithinPartitions(*order)
@@ -563,7 +740,18 @@ def _run_summary(df: DataFrame, cols: list[str],
     return arranged.mapInPandas(it, schema)
 
 
-def column_codec_stats(df: DataFrame, cols: list[str],
+# memoized stats rows per (source fingerprint, cols, order): the stats
+# job produces O(C) driver rows, so re-deriving queries (codec_selection
+# after column_codec_stats in the same session) rebuild the tiny
+# DataFrame from the memo instead of re-running two scans + the run
+# kernel (round-3 'what's wrong' #1). Keyed by file size+mtime — a
+# regenerated table never serves stale stats.
+_STATS_MEMO: dict = {}
+_STATS_DDL = ("col_name string, n_values long, vmin long, vmax long, "
+              "n_distinct long, n_runs long")
+
+
+def column_codec_stats(df, cols: list[str],
                        order: list[str]) -> DataFrame:
     """Whole-column codec stats (n, min, max, distinct, runs).
 
@@ -572,7 +760,15 @@ def column_codec_stats(df: DataFrame, cols: list[str],
     unbounded task memory). Run counts come from the range-partitioned
     kernel summary; the driver stitches the O(P·C) summary rows
     (subtracting one run wherever a value continues across a task edge).
+    ParquetSource inputs memoize the O(C) result rows per file
+    fingerprint for the session.
     """
+    memo_key = None
+    if isinstance(df, ParquetSource):
+        memo_key = (df.fingerprint(), tuple(cols), tuple(order))
+        hit = _STATS_MEMO.get(memo_key)
+        if hit is not None:
+            return df.sparkSession.createDataFrame(hit, _STATS_DDL)
     agg_exprs = []
     for c in cols:
         agg_exprs += [
@@ -581,7 +777,7 @@ def column_codec_stats(df: DataFrame, cols: list[str],
             F.max(F.col(c)).cast("long").alias(f"{c}__max"),
             F.countDistinct(F.col(c)).alias(f"{c}__k"),
         ]
-    stats_row = df.agg(*agg_exprs).collect()[0]
+    stats_row = _as_df(df).agg(*agg_exprs).collect()[0]
 
     summary = sorted(_run_summary(df, cols, order).collect(),
                      key=lambda r: r.pid)
@@ -596,9 +792,9 @@ def column_codec_stats(df: DataFrame, cols: list[str],
     rows = [(c, int(stats_row[f"{c}__n"]), int(stats_row[f"{c}__min"]),
              int(stats_row[f"{c}__max"]), int(stats_row[f"{c}__k"]),
              int(n_runs[c])) for c in cols]
-    return df.sparkSession.createDataFrame(
-        rows, "col_name string, n_values long, vmin long, vmax long, "
-              "n_distinct long, n_runs long")
+    if memo_key is not None:
+        _STATS_MEMO[memo_key] = rows
+    return df.sparkSession.createDataFrame(rows, _STATS_DDL)
 
 
 class _RefModelAcc:

@@ -22,11 +22,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> "analyze.ParquetSource":
+    """ParquetSource handle for the analyze family: enables the
+    shuffle-free arranged fast path (provably-sorted row groups read
+    task-side) plus session memoization of the O(C) stats rows."""
+    return analyze.ParquetSource(
+        spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
 # --- codec/engine family ---------------------------------------------------
 
 
 def q_run_stats_returnflag(spark, sf_dir):
-    return analyze.run_stats(_t(spark, sf_dir, "lineitem"),
+    return analyze.run_stats(_ts(spark, sf_dir, "lineitem"),
                              "l_returnflag", LINE_ORDER)
 
 
@@ -38,45 +46,45 @@ def q_run_extract_orderstatus(spark, sf_dir):
     # unrelated query's still-unconsumed intermediate.
     analyze.release_pins("run_extract")
     with analyze._pool_owner("run_extract"):
-        return analyze.run_extract(_t(spark, sf_dir, "orders"),
+        return analyze.run_extract(_ts(spark, sf_dir, "orders"),
                                    "o_orderstatus", ["o_orderkey"])
 
 
 def q_ref_rle8_size(spark, sf_dir):
-    return analyze.ref_rle8_size_v1(_t(spark, sf_dir, "lineitem"),
+    return analyze.ref_rle8_size_v1(_ts(spark, sf_dir, "lineitem"),
                                     ["l_returnflag", "l_linestatus"],
                                     LINE_ORDER)
 
 
 def q_run_length_histogram(spark, sf_dir):
-    return analyze.run_length_histogram(_t(spark, sf_dir, "lineitem"),
+    return analyze.run_length_histogram(_ts(spark, sf_dir, "lineitem"),
                                         "l_returnflag", LINE_ORDER)
 
 
 def q_column_codec_stats(spark, sf_dir):
-    return (analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
+    return (analyze.column_codec_stats(_ts(spark, sf_dir, "lineitem"),
                                        STAT_COLS, LINE_ORDER)
             .orderBy("col_name"))
 
 
 def q_width2_run_histogram(spark, sf_dir):
-    return analyze.sym_width_run_histogram(_t(spark, sf_dir, "lineitem"),
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
                                            "l_returnflag", LINE_ORDER, 2)
 
 
 def q_unaligned2_run_histogram(spark, sf_dir):
-    return analyze.unaligned_run_histogram(_t(spark, sf_dir, "lineitem"),
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
                                            "l_returnflag", LINE_ORDER, 2)
 
 
 def q_lru_recurrence(spark, sf_dir):
-    return (analyze.lru_recurrence(_t(spark, sf_dir, "orders"),
+    return (analyze.lru_recurrence(_ts(spark, sf_dir, "orders"),
                                    "o_orderstatus", ["o_orderkey"])
             .orderBy("k"))
 
 
 def q_codec_selection(spark, sf_dir):
-    stats = analyze.column_codec_stats(_t(spark, sf_dir, "lineitem"),
+    stats = analyze.column_codec_stats(_ts(spark, sf_dir, "lineitem"),
                                        STAT_COLS, LINE_ORDER)
     return analyze.codec_selection(stats)
 

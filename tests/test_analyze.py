@@ -234,3 +234,131 @@ def test_query_surface_persist_pool_bounded(spark):
         Q.q_ref_rle8_size(spark, sf).count()
     assert len(analyze._PERSIST_POOL) <= 1
     analyze.clear_run_cache()
+
+
+# --- ParquetSource shuffle-free arranged fast path -------------------------
+
+
+def _write_pq(tmp_path, pdf, name, row_group_size):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    p = str(tmp_path / name)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p,
+                   row_group_size=row_group_size)
+    return p
+
+
+def _mk_pdf(n=6000, seed=7):
+    rng = np.random.default_rng(seed)
+    chars = np.repeat(np.array(list("ABCD"))[rng.integers(0, 4, n // 4)],
+                      rng.integers(1, 9, n // 4))[:n]
+    if len(chars) < n:
+        chars = np.concatenate(
+            [chars, np.full(n - len(chars), "A", dtype=chars.dtype)])
+    return pd.DataFrame({"pos": np.arange(n, dtype=np.int64),
+                         "ln": (np.arange(n, dtype=np.int64) % 3),
+                         "ch": chars})
+
+
+def test_fast_path_engages_on_sorted_multi_rg(spark, tmp_path):
+    pdf = _mk_pdf()
+    p = _write_pq(tmp_path, pdf, "sorted.parquet", 500)
+    src = analyze.ParquetSource(spark, p)
+    fast = analyze._ranged_parquet(src, ["ch"], ["pos"])
+    assert fast is not None
+    # bit-identical to the shuffle path on every analyze surface
+    got = analyze.run_stats(src, "ch", ["pos"]).collect()[0]
+    want = analyze.run_stats(spark.read.parquet(p), "ch",
+                             ["pos"]).collect()[0]
+    assert got.asDict() == want.asDict()
+    runs_fast = sorted((r.start_rn, r.value, r.run_len) for r in
+                       analyze.partition_runs(src, "ch", ["pos"]).collect())
+    runs_slow = sorted((r.start_rn, r.value, r.run_len) for r in
+                       analyze.partition_runs(spark.read.parquet(p), "ch",
+                                              ["pos"]).collect())
+    assert runs_fast == runs_slow
+    analyze.clear_run_cache()
+
+
+def test_fast_path_range_clustered_locally_unsorted(spark, tmp_path):
+    """Row groups cover disjoint key ranges but rows inside each group
+    are shuffled: the per-unit local sort must repair the order and
+    produce results identical to the shuffle path."""
+    pdf = _mk_pdf()
+    rng = np.random.default_rng(11)
+    chunks = []
+    for lo in range(0, len(pdf), 500):
+        c = pdf.iloc[lo:lo + 500]
+        chunks.append(c.iloc[rng.permutation(len(c))])
+    scrambled = pd.concat(chunks, ignore_index=True)
+    p = _write_pq(tmp_path, scrambled, "clustered.parquet", 500)
+    src = analyze.ParquetSource(spark, p)
+    assert analyze._ranged_parquet(src, ["ch"], ["pos"]) is not None
+    got = analyze.run_stats(src, "ch", ["pos"]).collect()[0]
+    want = analyze.run_stats(spark.read.parquet(p), "ch",
+                             ["pos"]).collect()[0]
+    assert got.asDict() == want.asDict()
+    analyze.clear_run_cache()
+
+
+def test_fast_path_declines_on_overlap_and_coarse(spark, tmp_path):
+    pdf = _mk_pdf()
+    rng = np.random.default_rng(13)
+    shuffled = pdf.iloc[rng.permutation(len(pdf))].reset_index(drop=True)
+    p_overlap = _write_pq(tmp_path, shuffled, "overlap.parquet", 500)
+    src = analyze.ParquetSource(spark, p_overlap)
+    assert analyze._plan_sorted_units(src, "pos") is None
+    assert analyze._ranged_parquet(src, ["ch"], ["pos"]) is None
+    # single row group: provable but too coarse to parallelize
+    p_one = _write_pq(tmp_path, pdf, "one_rg.parquet", len(pdf))
+    src1 = analyze.ParquetSource(spark, p_one)
+    assert analyze._plan_sorted_units(src1, "pos") is not None
+    assert analyze._ranged_parquet(src1, ["ch"], ["pos"]) is None
+    # and the public surface still answers correctly via the fallback
+    got = analyze.run_stats(src1, "ch", ["pos"]).collect()[0]
+    want = analyze.run_stats(spark.read.parquet(p_one), "ch",
+                             ["pos"]).collect()[0]
+    assert got.asDict() == want.asDict()
+    analyze.clear_run_cache()
+
+
+def test_fast_path_runtime_guard_on_lying_footers(spark, tmp_path,
+                                                  monkeypatch):
+    """If footer stats claimed disjoint ranges but the data overlaps,
+    the task-side boundary assert must fail the job, not emit a wrong
+    arrangement."""
+    pdf = _mk_pdf()
+    p = _write_pq(tmp_path, pdf, "lie.parquet", 500)
+    src = analyze.ParquetSource(spark, p)
+    real = analyze._plan_sorted_units(src, "pos")
+    assert real is not None and len(real) >= 4
+    lied = [real[1], real[0], *real[2:]]  # wrong unit order
+    monkeypatch.setattr(analyze, "_plan_sorted_units",
+                        lambda *_a, **_k: lied)
+    fast = analyze._ranged_parquet(src, ["ch"], ["pos"])
+    assert fast is not None
+    with pytest.raises(Exception, match="overlaps its predecessor"):
+        fast.count()
+
+
+def test_column_codec_stats_memo(spark, tmp_path):
+    pdf = _mk_pdf()
+    p = _write_pq(tmp_path, pdf, "memo.parquet", 1000)
+    src = analyze.ParquetSource(spark, p)
+    first = analyze.column_codec_stats(src, ["pos", "ln"],
+                                       ["pos"]).collect()
+    key = (src.fingerprint(), ("pos", "ln"), ("pos",))
+    assert key in analyze._STATS_MEMO
+    again = analyze.column_codec_stats(src, ["pos", "ln"],
+                                       ["pos"]).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    # a rewritten file must not serve stale stats
+    import time
+    time.sleep(1.1)
+    _write_pq(tmp_path, pdf.iloc[: len(pdf) // 2], "memo.parquet", 1000)
+    src2 = analyze.ParquetSource(spark, p)
+    fresh = {r.col_name: r.n_values for r in
+             analyze.column_codec_stats(src2, ["pos", "ln"],
+                                        ["pos"]).collect()}
+    assert fresh["pos"] == len(pdf) // 2
+    analyze.clear_run_cache()
