@@ -127,3 +127,79 @@ def ref_rle_size_model_v1(img: np.ndarray, sym_bytes: int = 1) -> int:
     run_bytes_total = int(e_counts[emitted].sum())
     literal_total = int(nbytes - run_bytes_total)
     return 8 + cmd_total + literal_total + sym_bytes + 10
+
+
+# --- F5 short-command (Xsymlut_short) size accounting ----------------------
+#
+# Independent size-only replay of the short grammar
+# (/root/reference/src/rleX_Xsl_short.h:156-372 process_symbol,
+# :440-525 framing): 1-byte tiny / 3-byte medium (+2/4-byte escapes at
+# the 16-bit boundary), +1 symbol byte on MTF-LUT miss, interleaved
+# literals, 7-byte or 9+tail terminal. The accept penalty uses the
+# reference's 20-bit escape thresholds (:197) even though the emitter
+# escapes at 16 bits — replicated. Cross-checks codecs/short.py's real
+# stream builder byte for byte (tests assert equality), without sharing
+# its emission code.
+
+_SHORT_PARAMS = {1: (1, 3), 3: (2, 3), 7: (3, 2)}  # (lut_bits, cbp)
+_SHORT_INIT = {
+    1: [0x00],
+    3: [0x00, 0x7F, 0xFF],
+    7: [0x00, 0x7F, 0xFF, 0x01, 0x7E, 0x80, 0xFE],
+}
+
+
+def ref_short_size_exact(img: np.ndarray, sym_count: int = 7) -> int:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    n = len(img)
+    lut_bits, cbp = _SHORT_PARAMS[sym_count]
+    rbp = 8 - lut_bits - cbp
+    range_bits = (24 - lut_bits - rbp - 9 if sym_count == 7
+                  else 24 - lut_bits - cbp - 9)
+    max_packed_count = (1 << cbp) - 2
+    max_packed_range = (1 << rbp) - 1
+    max_tiny_range = (1 << range_bits) - 1
+    min_long = 3 + 4 + 4 + 1
+    size = 8  # 2*u32 header
+    if n == 0:
+        return size + 9
+    lut = list(_SHORT_INIT[sym_count])
+    starts, lens = find_runs(img)
+    last_rle = 0
+    for s, ln, v in zip(starts.tolist(), lens.tolist(),
+                        img[starts].tolist()):
+        if ln < 2:
+            continue
+        rng = s - last_rle + 2
+        miss = v not in lut
+        pen = 1 if miss else 0
+        tiny = (rng - 2 <= max_packed_range
+                and ln - 2 <= max_packed_count)
+        if not tiny:
+            pen += 2
+            if not (ln <= 511 and rng <= max_tiny_range):
+                pen += (0 if rng <= max_tiny_range
+                        else 2 if rng <= 0xFFFFF else 4)
+                pen += 0 if ln <= 511 else 2 if ln <= 0xFFFFF else 4
+        if not (ln >= min_long or ln >= 2 + pen):
+            continue
+        if tiny:
+            size += 1
+        else:
+            size += 3
+            size += 0 if ln <= 511 else 2 if ln <= 0xFFFF else 4
+            size += (0 if rng <= max_tiny_range
+                     else 2 if rng <= 0xFFFF else 4)
+        if miss:
+            size += 1
+            lut.insert(0, v)
+            lut.pop()
+        else:
+            i = lut.index(v)
+            if i:
+                lut.insert(0, lut.pop(i))
+        size += s - last_rle  # literals
+        last_rle = s + ln
+    if last_rle == n:
+        return size + 7
+    return size + 9 + (n - last_rle)

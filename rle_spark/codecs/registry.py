@@ -52,6 +52,12 @@ from .rle import (
     rle_stride_decode_bytes,
     rle_stride_encode_bytes,
 )
+from .short import (
+    short32_greedy_decode_bytes,
+    short32_greedy_encode_bytes,
+    short_decode_bytes,
+    short_encode_bytes,
+)
 from .single import single_decode_symbols, single_encode_symbols
 
 TOKEN_DTYPE = np.dtype("<i4")
@@ -404,6 +410,44 @@ _register(29, "rle32_lut3", lambda a: _rle32_lut_encode(a, 3),
 _register(30, "rle8_le_single", _rle8_le_single_encode, _rle8_le_decode,
           lambda st: None)
 
+
+# true F5 short-command format (width 8, 1/3/7-symbol MTF LUT) and the
+# F6 greedy partial-symbol tier (width-32 byte mode) — real interleaved
+# command streams with the reference's exact byte sizes
+# (/root/reference/src/rleX_Xsl_short.h). Ratio tier: per-command
+# emission, not the vectorized speed path.
+def _short8_encode(sym_count):
+    def enc(arr):
+        return short_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
+                                  sym_count)
+    return enc
+
+
+def _short8_decode(sym_count):
+    def dec(buf, n):
+        img = short_decode_bytes(buf, sym_count)[: n * 4]
+        return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+    return dec
+
+
+def _short32_greedy_encode(arr):
+    return short32_greedy_encode_bytes(tokens_to_bytes(_as_tokens(arr)))
+
+
+def _short32_greedy_decode(buf, n):
+    img = short32_greedy_decode_bytes(buf)[: n * 4]
+    return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+
+
+_register(31, "rle8_1sl_short", _short8_encode(1), _short8_decode(1),
+          lambda st: None)
+_register(32, "rle8_3sl_short", _short8_encode(3), _short8_decode(3),
+          lambda st: None)
+_register(33, "rle8_7sl_short", _short8_encode(7), _short8_decode(7),
+          lambda st: None)
+_register(34, "rle32_3sl_byte_short_greedy", _short32_greedy_encode,
+          _short32_greedy_decode, lambda st: None)
+
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
 # codecs cheap enough to probe (trial-encode) when estimates are close
@@ -418,7 +462,9 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "rle16_byte", "rle24_byte",
                      "rle48_byte", "rle64_byte", "rle128_byte",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
-                     "rle48_sym"]
+                     "rle48_sym",
+                     "rle8_1sl_short", "rle8_3sl_short", "rle8_7sl_short",
+                     "rle32_3sl_byte_short_greedy"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:
