@@ -706,15 +706,18 @@ def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame
 
 def _run_summary(df: DataFrame, cols: list[str],
                  order: list[str]) -> DataFrame:
-    """Per-(partition, column) run summary: local run count plus the
-    first/last value, enough to stitch global run counts on the driver."""
+    """Per-(partition, column) run summary: local run count, row count,
+    min/max, plus the first/last value — enough to stitch global run
+    counts (and whole-column n/min/max, riding the same scan for free)
+    on the driver."""
     arranged = _ranged(df, cols, order)
-    schema = ("pid int, col_name string, n_runs long, "
-              "first_val long, last_val long")
+    schema = ("pid int, col_name string, n long, n_runs long, "
+              "vmin long, vmax long, first_val long, last_val long")
 
     def it(batches: Iterable[pd.DataFrame]):
         pid = -1
-        acc = {c: {"n_runs": 0, "first": None, "last": None} for c in cols}
+        acc = {c: {"n": 0, "n_runs": 0, "vmin": None, "vmax": None,
+                   "first": None, "last": None} for c in cols}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -724,7 +727,11 @@ def _run_summary(df: DataFrame, cols: list[str],
                 a = pdf[c].to_numpy()
                 st = acc[c]
                 _, lens = find_runs(a)
+                st["n"] += len(a)
                 st["n_runs"] += len(lens)
+                lo, hi = int(a.min()), int(a.max())
+                st["vmin"] = lo if st["vmin"] is None else min(st["vmin"], lo)
+                st["vmax"] = hi if st["vmax"] is None else max(st["vmax"], hi)
                 if st["last"] is not None and a[0] == st["last"]:
                     st["n_runs"] -= 1  # batch boundary joins two runs
                 if st["first"] is None:
@@ -733,7 +740,10 @@ def _run_summary(df: DataFrame, cols: list[str],
         if pid >= 0:
             yield pd.DataFrame({
                 "pid": pid, "col_name": cols,
+                "n": [acc[c]["n"] for c in cols],
                 "n_runs": [acc[c]["n_runs"] for c in cols],
+                "vmin": [acc[c]["vmin"] for c in cols],
+                "vmax": [acc[c]["vmax"] for c in cols],
                 "first_val": [acc[c]["first"] for c in cols],
                 "last_val": [acc[c]["last"] for c in cols]})
 
@@ -755,11 +765,16 @@ def column_codec_stats(df, cols: list[str],
                        order: list[str]) -> DataFrame:
     """Whole-column codec stats (n, min, max, distinct, runs).
 
-    n/min/max/distinct run as one distributed Spark aggregate (exact
-    count-distinct is Spark's two-phase expand — no driver-side set, no
-    unbounded task memory). Run counts come from the range-partitioned
-    kernel summary; the driver stitches the O(P·C) summary rows
-    (subtracting one run wherever a value continues across a task edge).
+    Exact count-distinct runs as one distributed Spark aggregate
+    (Spark's two-phase expand — no driver-side set, no unbounded task
+    memory) over the NON-leading columns only; under the arranged total
+    order equal order[0] values are contiguous, so the leading column's
+    exact distinct count IS its global run count, skipping the widest,
+    highest-cardinality expand entirely. n/min/max and run counts ride
+    the range-partitioned kernel summary (the driver stitches the
+    O(P·C) summary rows, subtracting one run wherever a value continues
+    across a task edge). The two jobs are submitted concurrently — they
+    share the scan, and neither waits on the other's wall time.
     ParquetSource inputs memoize the O(C) result rows per file
     fingerprint for the session.
     """
@@ -769,28 +784,36 @@ def column_codec_stats(df, cols: list[str],
         hit = _STATS_MEMO.get(memo_key)
         if hit is not None:
             return df.sparkSession.createDataFrame(hit, _STATS_DDL)
-    agg_exprs = []
-    for c in cols:
-        agg_exprs += [
-            F.count(F.col(c)).alias(f"{c}__n"),
-            F.min(F.col(c)).cast("long").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("long").alias(f"{c}__max"),
-            F.countDistinct(F.col(c)).alias(f"{c}__k"),
-        ]
-    stats_row = _as_df(df).agg(*agg_exprs).collect()[0]
+    agg_exprs = [F.countDistinct(F.col(c)).alias(f"{c}__k")
+                 for c in cols if c != order[0]]
 
-    summary = sorted(_run_summary(df, cols, order).collect(),
-                     key=lambda r: r.pid)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_distinct = (pool.submit(
+            lambda: _as_df(df).agg(*agg_exprs).collect()[0])
+            if agg_exprs else None)
+        summary = sorted(pool.submit(
+            lambda: _run_summary(df, cols, order).collect()).result(),
+            key=lambda r: r.pid)
+        stats_row = fut_distinct.result() if fut_distinct else {}
+
     n_runs = {c: 0 for c in cols}
+    n_tot = {c: 0 for c in cols}
+    vmin: dict[str, int] = {}
+    vmax: dict[str, int] = {}
     last_val: dict[str, object] = {}
     for r in summary:
-        n_runs[r.col_name] += r.n_runs
-        if r.col_name in last_val and last_val[r.col_name] == r.first_val:
-            n_runs[r.col_name] -= 1  # run spans a partition boundary
-        last_val[r.col_name] = r.last_val
+        c = r.col_name
+        n_runs[c] += r.n_runs
+        n_tot[c] += r.n
+        vmin[c] = r.vmin if c not in vmin else min(vmin[c], r.vmin)
+        vmax[c] = r.vmax if c not in vmax else max(vmax[c], r.vmax)
+        if c in last_val and last_val[c] == r.first_val:
+            n_runs[c] -= 1  # run spans a partition boundary
+        last_val[c] = r.last_val
 
-    rows = [(c, int(stats_row[f"{c}__n"]), int(stats_row[f"{c}__min"]),
-             int(stats_row[f"{c}__max"]), int(stats_row[f"{c}__k"]),
+    rows = [(c, int(n_tot[c]), int(vmin[c]), int(vmax[c]),
+             int(n_runs[c]) if c == order[0] else int(stats_row[f"{c}__k"]),
              int(n_runs[c])) for c in cols]
     if memo_key is not None:
         _STATS_MEMO[memo_key] = rows
@@ -1267,75 +1290,117 @@ def lru_recurrence(df: DataFrame, col: str, order: list[str],
     documented deviation; a K-window over emitted runs holds at most K
     distinct symbols, so window hits lower-bound LUT hits).
 
-    Distributed: the emitted-run list is range-partitioned on position;
-    each task computes window membership for rows with full local
-    context and exports its first/last max(K) symbols; the driver
-    resolves the O(P*K) boundary rows."""
+    Distributed, FUSED into the range-partitioned run kernel (no run
+    table is ever materialized, persisted, or re-shuffled): each task
+    streams its arranged column through _TaskRunFold, keeps only the
+    emitted-run symbol sequence, counts window membership for positions
+    with full local context, and exports its first/last max(K) symbols
+    plus its two boundary runs; the driver resolves the O(P·K) edge
+    rows and the boundary-run merges in one pid-ordered walk."""
     max_k = max(ks)
-    release = _release_persists_after()
-    release.__enter__()
-    runs = partition_runs(df, col, order).filter(F.col("run_len") >= min_run)
-    cand = (runs.select("start_rn", "value")
-            .repartitionByRange(F.col("start_rn"))
-            .sortWithinPartitions("start_rn")
-            .withColumn("pid", F.spark_partition_id()))
     vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+    schema = ("pid int, m long, "
+              + ", ".join(f"hits_{k} long" for k in ks)
+              + f", head array<{vtype}>, tail array<{vtype}>, "
+              + f"kind int, first_v {vtype}, first_l long, "
+              + f"last_v {vtype}, last_l long")
 
     def it(batches: Iterable[pd.DataFrame]):
         pid = -1
-        vals: list = []
+        seq: list = []  # emitted-run symbols (interior runs, in order)
+
+        def sink(vals: np.ndarray, lens: np.ndarray, _s0) -> None:
+            keep = lens >= min_run
+            if keep.any():
+                seq.extend(np.asarray(vals)[keep].tolist())
+
+        fold = _TaskRunFold(sink)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if pid < 0:
                 pid = int(pdf["pid"].iloc[0])
-            vals.extend(pdf["value"].tolist())
+            fold.feed(_as_comparable(pdf[col].to_numpy()))
         if pid < 0:
             return
-        v = np.asarray(vals)
+        v = np.asarray(seq)
         m = len(v)
         hits = {}
         for k in ks:
             h = np.zeros(m, dtype=bool)
             for j in range(1, k + 1):
                 h[j:] |= v[j:] == v[:-j]
-            # rows needing the previous task's tail are resolved by the
-            # driver; only full-context rows count here
+            # positions whose lookback could cross the task edge (or the
+            # task's own first boundary run) resolve on the driver
             hits[k] = int(h[max_k:].sum()) if m > max_k else 0
-        head = vals[:max_k]
-        tail = vals[-max_k:]
+        b = fold.boundary()
+        if not b:
+            return
+        if b[0][0] == 3:
+            kind, fv, fl, lv, ll = 3, b[0][1], b[0][2], b[0][1], b[0][2]
+        else:
+            kind = 1
+            fv, fl = b[0][1], b[0][2]
+            lv, ll = b[1][1], b[1][2]
         yield pd.DataFrame({
             "pid": [pid], "m": [m],
             **{f"hits_{k}": [hits[k]] for k in ks},
-            "head": [head], "tail": [tail]})
+            "head": [seq[:max_k]], "tail": [seq[-max_k:]],
+            "kind": [kind], "first_v": [fv], "first_l": [fl],
+            "last_v": [lv], "last_l": [ll]})
 
-    schema = ("pid int, m long, "
-              + ", ".join(f"hits_{k} long" for k in ks)
-              + f", head array<{vtype}>, tail array<{vtype}>")
-    try:
-        parts = sorted(cand.mapInPandas(it, schema).collect(),
-                       key=lambda r: r.pid)
-    finally:
-        release.__exit__(None, None, None)
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
 
-    n_runs = sum(r.m for r in parts)
     totals = {k: 0 for k in ks}
-    carry: list = []  # rolling tail of the last max_k symbols seen
+    n_runs = 0
+    carry: list = []  # rolling tail of the last max_k emitted symbols
+    pend: tuple | None = None  # open boundary run (value, length)
+
+    def emit(v) -> None:
+        nonlocal n_runs
+        n_runs += 1
+        for k in ks:
+            if v in carry[-k:]:
+                totals[k] += 1
+        carry.append(v)
+        del carry[:-max_k]
+
+    def close(v, ln: int) -> None:
+        if ln >= min_run:
+            emit(v)
+
+    def extend_or_close(v, ln: int) -> None:
+        nonlocal pend
+        if pend is not None and pend[0] == v:
+            pend = (v, pend[1] + ln)
+        else:
+            if pend is not None:
+                close(*pend)
+            pend = (v, ln)
+
     for r in parts:
+        if r.kind == 3:
+            extend_or_close(r.last_v, r.last_l)  # stays open
+            continue
+        # first closed run: may extend the previous task's open run,
+        # then definitely closes (an in-task run follows it)
+        extend_or_close(r.first_v, r.first_l)
+        close(*pend)
+        pend = None
+        # edge interior rows (full-context rows were counted locally)
+        n_runs += int(r.m) - min(int(r.m), max_k)
+        for v in r.head:
+            emit(v)
         for k in ks:
             totals[k] += r[f"hits_{k}"]
-        # boundary rows: this task's first min(m, max_k) symbols, with
-        # the carry prepended for their lookback window
-        head = list(r.head)
-        ctx = carry + head
-        base = len(carry)
-        for i in range(min(r.m, max_k)):
-            for k in ks:
-                lo = max(0, base + i - k)
-                if ctx[base + i] in ctx[lo:base + i]:
-                    totals[k] += 1
-        carry = (carry + list(r.tail))[-max_k:] if r.m >= max_k \
-            else (carry + head)[-max_k:]
+        if r.m >= max_k:
+            carry[:] = list(r.tail)
+        pend = (r.last_v, r.last_l)
+    if pend is not None:
+        close(*pend)
+        pend = None
     rows = [(int(k), int(totals[k]), int(n_runs)) for k in ks]
     return df.sparkSession.createDataFrame(
         rows, "k int, n_hits long, n_runs long")
