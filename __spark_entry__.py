@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length_histogram": Q.q_run_length_histogram,
         "width2_run_histogram": Q.q_width2_run_histogram,
         "unaligned2_run_histogram": Q.q_unaligned2_run_histogram,
+        "exact_run_histogram": Q.q_exact_run_histogram,
+        "width4_run_histogram": Q.q_width4_run_histogram,
+        "unaligned4_run_histogram": Q.q_unaligned4_run_histogram,
         "lru_recurrence": Q.q_lru_recurrence,
         "ref_rle8_size": Q.q_ref_rle8_size,
         "column_codec_stats": Q.q_column_codec_stats,
@@ -242,6 +245,40 @@ def oracle_sql() -> dict[str, str]:
                OVER (PARTITION BY eq ORDER BY rn) AS grp
         FROM eqt) GROUP BY eq, grp)
       SELECT CAST(length(bin(len + 2)) - 1 AS INT) AS bit_class,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
+
+    sql["exact_run_histogram"] = f"""
+      WITH runs AS ({_runs_cte('l_returnflag', 'lineitem',
+                               'l_orderkey, l_linenumber')})
+      SELECT CAST(run_len AS INT) AS run_len,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs WHERE run_len <= 64 GROUP BY 1 ORDER BY 1"""
+
+    sql["width4_run_histogram"] = f"""
+      WITH {_SEQ_CTE},
+      syms AS (SELECT CAST((rn-1)//4 AS BIGINT) AS sym_idx,
+                      string_agg(ch, '' ORDER BY rn) AS sym,
+                      count(*) AS nb
+               FROM seq GROUP BY 1),
+      c AS (SELECT sym_idx, sym FROM syms WHERE nb = 4),
+      runs AS (SELECT count(*) AS run_len FROM (
+        SELECT sym, sym_idx - row_number()
+               OVER (PARTITION BY sym ORDER BY sym_idx) AS grp
+        FROM c) GROUP BY sym, grp)
+      SELECT CAST(length(bin(run_len)) - 1 AS INT) AS bit_class,
+             CAST(count(*) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1 ORDER BY 1"""
+
+    sql["unaligned4_run_histogram"] = f"""
+      WITH {_SEQ_CTE},
+      eqt AS (SELECT rn, COALESCE(ch = lag(ch, 4) OVER (ORDER BY rn),
+                                  FALSE) AS eq FROM seq),
+      runs AS (SELECT eq, count(*) AS len FROM (
+        SELECT eq, rn - row_number()
+               OVER (PARTITION BY eq ORDER BY rn) AS grp
+        FROM eqt) GROUP BY eq, grp)
+      SELECT CAST(length(bin(len + 4)) - 1 AS INT) AS bit_class,
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
 

@@ -704,6 +704,73 @@ def run_length_histogram(df: DataFrame, col: str, order: list[str]) -> DataFrame
         rows, "bit_class int, n_runs long")
 
 
+def exact_run_length_histogram(df: DataFrame, col: str, order: list[str],
+                               cap: int = 64) -> DataFrame:
+    """EXACT run-length histogram (run_len -> n_runs for run_len <=
+    cap), the `rleLengthExact` companion of the bit-class table —
+    AnalyzeData keeps both, capped at 64 buckets
+    (/root/reference/src/main.c:1254,1365 `rleLengthExact[len-1]++ if
+    len <= 64`). Same shuffle-free/one-shuffle kernel as the bit-class
+    variant: a cap-sized exact array accumulates inside each task over
+    interior runs; the driver folds in the O(P) boundary runs."""
+    vtype = df.schema[col].dataType.simpleString()
+    arranged = _ranged(df, [col], order)
+    schema = f"pid int, kind int, value {vtype}, run_len long, hist array<long>"
+
+    def it(batches: Iterable[pd.DataFrame]):
+        pid = -1
+        hist = np.zeros(cap, dtype=np.int64)
+
+        def sink(_vals: np.ndarray, lens: np.ndarray, _s0) -> None:
+            ln = np.asarray(lens)
+            ok = ln <= cap
+            np.add.at(hist, ln[ok] - 1, 1)
+
+        fold = _TaskRunFold(sink)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            fold.feed(_as_comparable(pdf[col].to_numpy()))
+        bound = fold.boundary()
+        if bound or hist.any():
+            rows = [(pid, 0, None, 0, hist.tolist())]
+            rows += [(pid, kind, v, ln, None) for kind, v, ln in bound]
+            yield pd.DataFrame(rows, columns=["pid", "kind", "value",
+                                              "run_len", "hist"])
+
+    parts = sorted(arranged.mapInPandas(it, schema).collect(),
+                   key=lambda r: r.pid)
+    hist = np.zeros(cap, dtype=np.int64)
+
+    def close(_v, ln: int) -> None:
+        if ln <= cap:
+            hist[int(ln) - 1] += 1
+
+    merger = _BoundaryRunMerger(close)
+    i = 0
+    while i < len(parts):
+        pid = parts[i].pid
+        first = last = only = None
+        while i < len(parts) and parts[i].pid == pid:
+            r = parts[i]
+            if r.kind == 0:
+                hist += np.asarray(r.hist, dtype=np.int64)
+            elif r.kind == 1:
+                first = (r.value, r.run_len)
+            elif r.kind == 2:
+                last = (r.value, r.run_len)
+            else:
+                only = (r.value, r.run_len)
+            i += 1
+        merger.task(first, last, only)
+    merger.finish()
+    rows = [(int(b) + 1, int(n)) for b, n in enumerate(hist) if n]
+    return df.sparkSession.createDataFrame(
+        rows, "run_len int, n_runs long")
+
+
 def _run_summary(df: DataFrame, cols: list[str],
                  order: list[str]) -> DataFrame:
     """Per-(partition, column) run summary: local run count, row count,

@@ -77,6 +77,21 @@ def q_unaligned2_run_histogram(spark, sf_dir):
                                            "l_returnflag", LINE_ORDER, 2)
 
 
+def q_exact_run_histogram(spark, sf_dir):
+    return analyze.exact_run_length_histogram(
+        _ts(spark, sf_dir, "lineitem"), "l_returnflag", LINE_ORDER)
+
+
+def q_width4_run_histogram(spark, sf_dir):
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 4)
+
+
+def q_unaligned4_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 4)
+
+
 def q_lru_recurrence(spark, sf_dir):
     return (analyze.lru_recurrence(_ts(spark, sf_dir, "orders"),
                                    "o_orderstatus", ["o_orderkey"])

@@ -139,6 +139,30 @@ def test_run_length_histogram_matches_naive(spark, seq_df):
     assert got == want
 
 
+@pytest.mark.parametrize("cap", [8, 64])
+def test_exact_run_length_histogram_matches_naive(spark, seq_df, cap):
+    df, chars = seq_df
+    _, lens = find_runs(chars)
+    lens = lens[lens <= cap]
+    vals, counts = np.unique(lens, return_counts=True)
+    want = {int(v): int(c) for v, c in zip(vals, counts)}
+    got = {r.run_len: r.n_runs for r in
+           analyze.exact_run_length_histogram(df, "ch", ["pos"],
+                                              cap=cap).collect()}
+    assert got == want
+
+
+def test_exact_histogram_sums_to_bit_class_total(spark, seq_df):
+    """With an uncapped bucket array the exact histogram must cover
+    every run the bit-class table covers (same kernel, same runs)."""
+    df, chars = seq_df
+    _, lens = find_runs(chars)
+    exact = analyze.exact_run_length_histogram(
+        df, "ch", ["pos"], cap=int(lens.max())).collect()
+    bc = analyze.run_length_histogram(df, "ch", ["pos"]).collect()
+    assert sum(r.n_runs for r in exact) == sum(r.n_runs for r in bc)
+
+
 def test_folded_kernels_leave_no_persists(spark, seq_df):
     """run_stats / run_length_histogram / both histograms fully release
     their pinned intermediates before returning (round-2 advice: the
