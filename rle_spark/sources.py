@@ -163,6 +163,79 @@ def encode_parquet_dir_summary(spark: SparkSession, src_dir: str,
     return _split_df(spark, units, n_tasks).mapInArrow(it, BLOCK_SUMMARY_DDL)
 
 
+def manifest_from_lineage(out_dir: str) -> bool:
+    """Assemble <out_dir>/manifest driver-side from the per-task lineage
+    records the direct writer commits alongside each block file — O(tasks)
+    tiny JSONs instead of a post-job Spark rescan of every written block
+    (at 100 TB the rescan is a full metadata pass over the sink; the
+    lineage fold is what an Iceberg/Delta commit does). Returns False —
+    caller falls back to refresh_manifest's authoritative rescan — when
+    the lineage doesn't exactly cover the committed files (pre-rollup
+    lineage, a non-flat/mixed blocks layout, or a crash window)."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from . import __version__
+    blocks_dir = os.path.join(out_dir, "blocks")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    try:
+        entries = sorted(os.listdir(blocks_dir))
+    except OSError:
+        return False
+    parts = []
+    for e in entries:
+        if e.startswith((".", "_")):
+            continue  # hidden tmp / marker — invisible to readers too
+        if os.path.isdir(os.path.join(blocks_dir, e)):
+            return False  # partitioned/mixed layout: lineage can't cover
+        if e.endswith(".parquet"):
+            parts.append(e)
+    agg: dict[tuple, list] = {}
+    covered = set()
+    for e in sorted(os.listdir(lineage_dir)) if os.path.isdir(lineage_dir) \
+            else []:
+        if not e.endswith(".json"):
+            continue
+        try:
+            rec = json.load(open(os.path.join(lineage_dir, e)))
+        except (ValueError, OSError):
+            return False
+        if "groups" not in rec:
+            return False  # pre-rollup lineage
+        covered.add(rec.get("file"))
+        for s, b, c, nb, nd, nt, ob, cb in rec["groups"]:
+            g = agg.setdefault((s, int(b)), [0, 0, 0, 0, 0, {}])
+            g[0] += nb
+            g[1] += nd
+            g[2] += nt
+            g[3] += ob
+            g[4] += cb
+            g[5][c] = g[5].get(c, 0) + nb
+    if covered != set(parts):
+        return False  # stale or missing lineage: rescan instead
+    keys = sorted(agg)
+    table = pa.table({
+        "source": pa.array([k[0] for k in keys], pa.string()),
+        "bucket": pa.array([k[1] for k in keys], pa.int32()),
+        "n_blocks": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_docs": pa.array([agg[k][1] for k in keys], pa.int64()),
+        "n_tokens": pa.array([agg[k][2] for k in keys], pa.int64()),
+        "orig_bytes": pa.array([agg[k][3] for k in keys], pa.int64()),
+        "comp_bytes": pa.array([agg[k][4] for k in keys], pa.int64()),
+        "codecs": pa.array([sorted(agg[k][5].items()) for k in keys],
+                           pa.map_(pa.string(), pa.int64())),
+        "engine_version": pa.array([__version__] * len(keys), pa.string()),
+    })
+    manifest_dir = os.path.join(out_dir, "manifest")
+    os.makedirs(manifest_dir, exist_ok=True)
+    for f in glob.glob(os.path.join(manifest_dir, "*")):
+        os.remove(f)
+    tmp = os.path.join(manifest_dir, ".manifest.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(manifest_dir, "part-00000.parquet"))
+    return True
+
+
 def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                               out_dir: str,
                               cfg: EngineConfig | None = None,
@@ -261,17 +334,66 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                 yield rb
 
         n_blocks = n_docs = n_tokens = orig = comp = 0
+        # per-(source, bucket, codec) rollup — O(blocks) per task, a few
+        # hundred rows; lets the driver assemble the manifest from the
+        # lineage records with NO post-job Spark rescan of the blocks
+        # (at 100 TB that rescan is a full metadata pass over the sink)
+        groups: dict[tuple, list] = {}
+
+        def roll(tbl):
+            srcs = tbl.column("source").to_pylist()
+            bks = tbl.column("bucket").to_pylist()
+            cds = tbl.column("codec").to_pylist()
+            nds = tbl.column("n_docs").to_pylist()
+            nts = tbl.column("n_tokens").to_pylist()
+            obs = tbl.column("orig_bytes").to_pylist()
+            cbs = tbl.column("comp_bytes").to_pylist()
+            for s, b, c, nd, nt, ob, cb in zip(srcs, bks, cds, nds, nts,
+                                               obs, cbs):
+                g = groups.setdefault((s, int(b), c), [0, 0, 0, 0, 0])
+                g[0] += 1
+                g[1] += int(nd)
+                g[2] += int(nt)
+                g[3] += int(ob)
+                g[4] += int(cb)
+
+        def lineage_record():
+            return {"file": os.path.basename(final), "splits": consumed,
+                    "n_blocks": n_blocks, "n_docs": n_docs,
+                    "n_tokens": n_tokens, "orig_bytes": orig,
+                    "comp_bytes": comp,
+                    "groups": [[s, b, c, *v]
+                               for (s, b, c), v in sorted(groups.items())]}
+
+        def commit_lineage():
+            import json as _json
+            ltmp = os.path.join(lineage_dir, f".part-{pid:05d}.tmp")
+            with open(ltmp, "w") as fh:
+                _json.dump(lineage_record(), fh)
+            os.replace(ltmp,
+                       os.path.join(lineage_dir, f"part-{pid:05d}.json"))
+
         if os.path.exists(final):
-            # committed by a previous attempt: report its totals, skip
-            t = pq.read_table(final, columns=["n_docs", "n_tokens",
+            # committed by a previous attempt: report its totals, skip.
+            # The input batches are split-PLAN rows (path, rg0, rg1) —
+            # tee() records them without touching source data, so a
+            # crash between the data commit and the lineage commit
+            # heals here: the rollup is rebuilt from the committed
+            # file's metadata columns and the lineage re-written.
+            for _ in tee(batches):
+                pass
+            t = pq.read_table(final, columns=["source", "bucket", "codec",
+                                              "n_docs", "n_tokens",
                                               "orig_bytes", "comp_bytes"])
             n_blocks = t.num_rows
             n_docs = int(sum(t.column("n_docs").to_pylist()))
             n_tokens = int(sum(t.column("n_tokens").to_pylist()))
             orig = int(sum(t.column("orig_bytes").to_pylist()))
             comp = int(sum(t.column("comp_bytes").to_pylist()))
-            for _ in batches:
-                pass  # drain without reading source data
+            roll(t)
+            lpath = os.path.join(lineage_dir, f"part-{pid:05d}.json")
+            if not os.path.exists(lpath):
+                commit_lineage()
         else:
             writer = None
             try:
@@ -285,25 +407,18 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                     n_tokens += sum(rb.column("n_tokens").to_pylist())
                     orig += sum(rb.column("orig_bytes").to_pylist())
                     comp += sum(rb.column("comp_bytes").to_pylist())
+                    roll(rb)
             finally:
                 if writer is not None:
                     writer.close()
             if writer is not None:
                 os.replace(tmp, final)  # atomic commit of this task's file
                 # per-task LINEAGE: which input splits produced this
-                # file, plus its metrics — the audit/incremental-
-                # recompute record the north rule's "per-partition
-                # lineage + metrics" asks for (atomic like the data)
-                import json as _json
-                ltmp = os.path.join(lineage_dir, f".part-{pid:05d}.tmp")
-                with open(ltmp, "w") as fh:
-                    _json.dump({"file": os.path.basename(final),
-                                "splits": consumed,
-                                "n_blocks": n_blocks, "n_docs": n_docs,
-                                "n_tokens": n_tokens, "orig_bytes": orig,
-                                "comp_bytes": comp}, fh)
-                os.replace(ltmp,
-                           os.path.join(lineage_dir, f"part-{pid:05d}.json"))
+                # file, plus its metrics and the per-codec rollup — the
+                # audit/incremental-recompute record the north rule's
+                # "per-partition lineage + metrics" asks for (atomic
+                # like the data), and the manifest's building blocks
+                commit_lineage()
         yield pa.record_batch(
             [pa.array([x], pa.int64()) for x in
              (n_blocks, n_docs, n_tokens, orig, comp)],
@@ -319,7 +434,8 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
             .collect()[0])
     else:
         totals = {"d": 0, "t": 0, "o": 0, "c": 0}
-    refresh_manifest(spark, out_dir)
+    if not manifest_from_lineage(out_dir):
+        refresh_manifest(spark, out_dir)  # lineage gap: authoritative rescan
     orig, comp = int(totals["o"] or 0), int(totals["c"] or 0)
     return {"orig_bytes": orig, "comp_bytes": comp,
             "ratio": (comp / orig) if orig else 1.0,

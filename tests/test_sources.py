@@ -230,3 +230,53 @@ def test_direct_writer_lineage(spark, tmp_path_factory):
     assert covered == planned
     for r in recs:
         assert os.path.exists(os.path.join(out, "blocks", r["file"]))
+
+
+def test_manifest_from_lineage_matches_spark_rescan(spark, tmp_path_factory):
+    """The driver-side lineage fold and refresh_manifest's authoritative
+    Spark rescan of the written blocks produce the SAME manifest rows
+    (per-source/bucket totals and per-codec block counts), and the fold
+    refuses (-> rescan fallback) when lineage doesn't cover the files."""
+    import glob
+    import json
+    from rle_spark.engine import refresh_manifest
+    from rle_spark.sources import encode_parquet_dir_direct, manifest_from_lineage
+    src = str(tmp_path_factory.mktemp("msrc"))
+    out = str(tmp_path_factory.mktemp("mout"))
+    df = token_table(spark, 70, seed=28)
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=4)
+
+    def manifest_rows():
+        rows = (spark.read.parquet(os.path.join(out, "manifest"))
+                .collect())
+        return sorted(
+            (r["source"], r["bucket"], r["n_blocks"], r["n_docs"],
+             r["n_tokens"], r["orig_bytes"], r["comp_bytes"],
+             tuple(sorted(r["codecs"].items())), r["engine_version"])
+            for r in rows)
+
+    from_lineage = manifest_rows()
+    assert from_lineage  # non-empty
+    refresh_manifest(spark, out)  # overwrite with the rescan version
+    assert manifest_rows() == from_lineage
+
+    # skip path (committed files) rebuilds identical lineage + manifest
+    for p in glob.glob(os.path.join(out, "lineage", "*.json")):
+        os.remove(p)
+    encode_parquet_dir_direct(spark, src, out, CFG, n_tasks=4, resume=True)
+    assert manifest_rows() == from_lineage
+
+    # coverage guard: drop one lineage record -> fold refuses
+    victim = sorted(glob.glob(os.path.join(out, "lineage", "*.json")))[0]
+    os.remove(victim)
+    assert manifest_from_lineage(out) is False
+    # pre-rollup (old-format) lineage -> fold refuses
+    rest = sorted(glob.glob(os.path.join(out, "lineage", "*.json")))
+    rec = json.load(open(rest[0]))
+    rec.pop("groups")
+    base = os.path.basename(victim)
+    json.dump({**rec, "file": base.replace(".json", ".parquet")},
+              open(victim, "w"))
+    json.dump(rec, open(rest[0], "w"))
+    assert manifest_from_lineage(out) is False
