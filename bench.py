@@ -171,6 +171,17 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
             orig, comp = int(row["o"]), int(row["c"])
         job_walls = []
         summary = None
+        # untimed dry job (same protocol as the stage/decode legs,
+        # reference src/main.c:808-811): first run pays writer-path
+        # warm-up (zstd contexts, parquet writer import) ~1.2-2x
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if use_files:
+            encode_parquet_dir_direct(spark, src_path, out_dir, cfg,
+                                      target_split_bytes=16 << 20,
+                                      n_tasks=n_tasks)
+        else:
+            encode_table(spark, spark.read.parquet(src_path), out_dir, cfg,
+                         resume=False)
         for _ in range(job_runs):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
@@ -243,7 +254,7 @@ def per_codec_entropy(out_dir: str) -> dict:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from rle_spark.codecs.registry import decode_with
+    from rle_spark.blocks import decode_block
     stats: dict = {}
     for f in g.glob(os.path.join(out_dir, "blocks", "**", "*.parquet"),
                     recursive=True):
@@ -274,8 +285,8 @@ def per_codec_entropy(out_dir: str) -> dict:
             ir = 0.0
         r = (c / o) if o else 1.0
         t0 = _time.time()
-        for payload, nt in blocks:
-            decode_with(cname, payload, nt)
+        for payload, _nt in blocks:
+            decode_block(payload)  # framed: strips the 15-byte header
         dwall = _time.time() - t0
         out[cname] = {"blocks": n, "orig_bytes": int(o),
                       "comp_bytes": int(c), "ratio": round(r, 4),

@@ -158,17 +158,25 @@ def _near_dup_pairs_one_table(emb: DataFrame, min_pct: int, n_planes: int,
                               seed: int, dim: int, vec_col: str,
                               id_col: str) -> DataFrame:
     planes = near_dup_plane_matrix(n_planes, dim, seed)
+    # norm precomputed PER VECTOR (N evaluations of the 64-term dot),
+    # not per candidate pair (sum of squared bucket sizes, ~2 orders
+    # more at the default bucket target) — same IEEE double ops in the
+    # same tree order, so cos_pct is bit-identical to the inline form
     sig = emb.select(F.col(id_col).alias("vec_id"),
                      F.col(vec_col).alias("embedding"),
                      F.expr(signature_expr_sql(vec_col, planes, 0))
-                     .alias("sig"))
+                     .alias("sig"),
+                     F.expr(f"SQRT({dot_expr_sql(vec_col, vec_col, dim, 0)})")
+                     .alias("norm"))
     a, b = sig.alias("a"), sig.alias("b")
+    dot_ab = dot_expr_sql("a.embedding", "b.embedding", dim, 0)
     pairs = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
              .select(F.col("a.vec_id").alias("vec_a"),
                      F.col("b.vec_id").alias("vec_b"),
-                     F.expr(cos_pct_expr_sql("a.embedding", "b.embedding",
-                                             dim, 0)).alias("cos_pct")))
+                     F.expr(f"CAST(FLOOR(100.0 * {dot_ab} / "
+                            f"(a.norm * b.norm)) AS BIGINT)")
+                     .alias("cos_pct")))
     return pairs.filter(F.col("cos_pct") >= min_pct)
 
 
