@@ -84,16 +84,27 @@ def make_spark(cpus: int, app: str):
             .getOrCreate())
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, list]]:
+    """Each query timed QUERY_RUNS times back-to-back, fastest reported
+    (the reference benchmark's fastest-run protocol, src/main.c:828):
+    a single cold wall measures Catalyst/codegen compile + whichever
+    multi-minute host phase it lands in (same code measured 4.2s and
+    11.8s an hour apart), not the engine. Every raw wall is recorded
+    alongside the best-of headline."""
     import __spark_entry__ as em
     qs = em.queries()
-    out = {}
+    runs = int(os.environ.get("RLE_BENCH_QUERY_RUNS", "2"))
+    out, walls = {}, {}
     for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        log(f"  query {name}: {out[name]}s ({n} rows)")
-    return out
+        ws = []
+        for _ in range(runs):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            ws.append(round(time.time() - t0, 3))
+        walls[name] = ws
+        out[name] = min(ws)
+        log(f"  query {name}: {out[name]}s ({n} rows, walls {ws})")
+    return out, walls
 
 
 def encode_run(cpus: int, src_path: str, out_dir: str,
@@ -319,21 +330,22 @@ def main():
 
     # 1) headline queries at local[CPUS]
     if os.environ.get("RLE_BENCH_SKIP_QUERIES") == "1":
-        queries, total = {}, 0.0
+        queries, query_walls = {}, {}
     else:
         spark = make_spark(CPUS, "bench-queries")
         spark.sparkContext.setLogLevel("ERROR")
         from rle_spark.engine import warm_python_workers
         warm_python_workers(spark, CPUS)  # untimed worker spawn/heap warm
-        t0 = time.time()
-        queries = run_queries(spark)
-        total = round(time.time() - t0, 3)
+        queries, query_walls = run_queries(spark)
         spark.stop()
 
     results.update({
         "metric": "headline_query_total_sec",
-        "value": total,
+        # sum of per-query best-of walls (NOT loop wall: that would
+        # double-count the extra timing runs)
+        "value": round(sum(queries.values()), 3),
         "queries": queries,
+        "query_walls": query_walls,
     })
 
     # 2) encode throughput scaling (N vs 4N threads, same input)
