@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_run_histogram": Q.q_exact_run_histogram,
         "width4_run_histogram": Q.q_width4_run_histogram,
         "unaligned4_run_histogram": Q.q_unaligned4_run_histogram,
+        "width8_run_histogram": Q.q_width8_run_histogram,
+        "unaligned8_run_histogram": Q.q_unaligned8_run_histogram,
         "lru_recurrence": Q.q_lru_recurrence,
         "ref_rle8_size": Q.q_ref_rle8_size,
         "column_codec_stats": Q.q_column_codec_stats,
@@ -221,13 +223,14 @@ def oracle_sql() -> dict[str, str]:
     _SEQ_CTE = ("seq AS (SELECT l_returnflag AS ch, row_number() OVER "
                 "(ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)")
 
-    sql["width2_run_histogram"] = f"""
+    def _width_hist_sql(w: int) -> str:
+        return f"""
       WITH {_SEQ_CTE},
-      syms AS (SELECT CAST((rn-1)//2 AS BIGINT) AS sym_idx,
+      syms AS (SELECT CAST((rn-1)//{w} AS BIGINT) AS sym_idx,
                       string_agg(ch, '' ORDER BY rn) AS sym,
                       count(*) AS nb
                FROM seq GROUP BY 1),
-      c AS (SELECT sym_idx, sym FROM syms WHERE nb = 2),
+      c AS (SELECT sym_idx, sym FROM syms WHERE nb = {w}),
       runs AS (SELECT count(*) AS run_len FROM (
         SELECT sym, sym_idx - row_number()
                OVER (PARTITION BY sym ORDER BY sym_idx) AS grp
@@ -236,17 +239,22 @@ def oracle_sql() -> dict[str, str]:
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs GROUP BY 1 ORDER BY 1"""
 
-    sql["unaligned2_run_histogram"] = f"""
+    def _unaligned_hist_sql(w: int) -> str:
+        return f"""
       WITH {_SEQ_CTE},
-      eqt AS (SELECT rn, COALESCE(ch = lag(ch, 2) OVER (ORDER BY rn),
+      eqt AS (SELECT rn, COALESCE(ch = lag(ch, {w}) OVER (ORDER BY rn),
                                   FALSE) AS eq FROM seq),
       runs AS (SELECT eq, count(*) AS len FROM (
         SELECT eq, rn - row_number()
                OVER (PARTITION BY eq ORDER BY rn) AS grp
         FROM eqt) GROUP BY eq, grp)
-      SELECT CAST(length(bin(len + 2)) - 1 AS INT) AS bit_class,
+      SELECT CAST(length(bin(len + {w})) - 1 AS INT) AS bit_class,
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
+
+    for _w in (2, 4, 8):
+        sql[f"width{_w}_run_histogram"] = _width_hist_sql(_w)
+        sql[f"unaligned{_w}_run_histogram"] = _unaligned_hist_sql(_w)
 
     sql["exact_run_histogram"] = f"""
       WITH runs AS ({_runs_cte('l_returnflag', 'lineitem',
@@ -254,33 +262,6 @@ def oracle_sql() -> dict[str, str]:
       SELECT CAST(run_len AS INT) AS run_len,
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE run_len <= 64 GROUP BY 1 ORDER BY 1"""
-
-    sql["width4_run_histogram"] = f"""
-      WITH {_SEQ_CTE},
-      syms AS (SELECT CAST((rn-1)//4 AS BIGINT) AS sym_idx,
-                      string_agg(ch, '' ORDER BY rn) AS sym,
-                      count(*) AS nb
-               FROM seq GROUP BY 1),
-      c AS (SELECT sym_idx, sym FROM syms WHERE nb = 4),
-      runs AS (SELECT count(*) AS run_len FROM (
-        SELECT sym, sym_idx - row_number()
-               OVER (PARTITION BY sym ORDER BY sym_idx) AS grp
-        FROM c) GROUP BY sym, grp)
-      SELECT CAST(length(bin(run_len)) - 1 AS INT) AS bit_class,
-             CAST(count(*) AS BIGINT) AS n_runs
-      FROM runs GROUP BY 1 ORDER BY 1"""
-
-    sql["unaligned4_run_histogram"] = f"""
-      WITH {_SEQ_CTE},
-      eqt AS (SELECT rn, COALESCE(ch = lag(ch, 4) OVER (ORDER BY rn),
-                                  FALSE) AS eq FROM seq),
-      runs AS (SELECT eq, count(*) AS len FROM (
-        SELECT eq, rn - row_number()
-               OVER (PARTITION BY eq ORDER BY rn) AS grp
-        FROM eqt) GROUP BY eq, grp)
-      SELECT CAST(length(bin(len + 4)) - 1 AS INT) AS bit_class,
-             CAST(count(*) AS BIGINT) AS n_runs
-      FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
 
     sql["lru_recurrence"] = """
       WITH runs AS (

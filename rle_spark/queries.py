@@ -92,6 +92,16 @@ def q_unaligned4_run_histogram(spark, sf_dir):
                                            "l_returnflag", LINE_ORDER, 4)
 
 
+def q_width8_run_histogram(spark, sf_dir):
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 8)
+
+
+def q_unaligned8_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 8)
+
+
 def q_lru_recurrence(spark, sf_dir):
     return (analyze.lru_recurrence(_ts(spark, sf_dir, "orders"),
                                    "o_orderstatus", ["o_orderkey"])
