@@ -20,6 +20,7 @@ Design notes vs the reference (hypersonic-rle-kit):
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -76,21 +77,12 @@ def _container_bytes(width: int) -> int:
     raise ValueError(f"width {width} > 64")
 
 
-def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack non-negative integers into `width` bits each (MSB-first).
-
-    Reference precedent: the 2/3/4/8-bit block packing of rle8_mmtf128
-    (/root/reference/src/rle8_mmtf.c:45-149, src/bitpack.h) — ours is the
-    general-width version used by dict/FOR/delta/RLE sub-streams.
-
-    Implementation rides np.unpackbits/np.packbits (C kernels): values
-    are viewed big-endian in the smallest 1/2/4/8-byte container, the
-    container's bit matrix is sliced to the low `width` columns and
-    re-packed. Byte-multiple widths skip the bit matrix entirely.
-    """
+def _pack_bits_matrix(values: np.ndarray, width: int) -> bytes:
+    """Bit-matrix packer (np.unpackbits/packbits): expands every value
+    to an 8c-bool row — ~8c bytes of traffic per value. Kept for small
+    arrays (fixed-cost friendly) and as the independent reference the
+    lane kernel is equivalence-tested against."""
     n = len(values)
-    if width == 0 or n == 0:
-        return b""
     c = _container_bytes(width)
     v = np.ascontiguousarray(values, dtype=f">u{c}")
     if width == 8 * c:
@@ -99,10 +91,7 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     return np.packbits(bits[:, 8 * c - width:]).tobytes()
 
 
-def unpack_bits(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
-    """Inverse of pack_bits -> uint64 array of length n."""
-    if width == 0 or n == 0:
-        return np.zeros(n, dtype=np.uint64)
+def _unpack_bits_matrix(buf, width: int, n: int) -> np.ndarray:
     c = _container_bytes(width)
     if width == 8 * c:
         return np.frombuffer(buf, dtype=f">u{c}", count=n).astype(np.uint64)
@@ -113,6 +102,87 @@ def unpack_bits(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
     full[:, 8 * c - width:] = bits
     return (np.frombuffer(np.packbits(full.ravel()).tobytes(), dtype=f">u{c}",
                           count=n).astype(np.uint64))
+
+
+# below this length the bit-matrix path's fixed cost wins over the
+# lane loop's P (up to 64) small vector ops (measured crossover ~2-8k)
+_LANE_MIN_N = 4096
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers into `width` bits each (MSB-first).
+
+    Reference precedent: the 2/3/4/8-bit block packing of rle8_mmtf128
+    (/root/reference/src/rle8_mmtf.c:45-149, src/bitpack.h) — ours is the
+    general-width version used by dict/FOR/delta/RLE sub-streams.
+
+    Large arrays use a LANE kernel: the big-endian bitstream is
+    assembled in uint64 words; the (word, bit-offset) pattern of the
+    i-th value repeats with period P = 64/gcd(width,64) values per
+    Q = width*P/64 words, so P shift/OR column ops build the whole
+    stream — ~2 uint64 ops per value instead of the bit matrix's 8c
+    bytes per value (5-15x on the hot 9-31-bit sub-streams). Output is
+    byte-identical to the matrix form (equivalence-tested), so the
+    wire format is unchanged.
+    """
+    n = len(values)
+    if width == 0 or n == 0:
+        return b""
+    if width in (8, 16, 32, 64):
+        return np.ascontiguousarray(values, dtype=f">u{width // 8}").tobytes()
+    if n < _LANE_MIN_N or width < 8:
+        # tiny widths: per-value work is small either way and the lane
+        # loop runs 64 near-empty column ops — packbits wins (measured)
+        return _pack_bits_matrix(values, width)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = v & np.uint64((1 << width) - 1)  # matrix form drops high bits too
+    gcd = math.gcd(width, 64)
+    per, q = 64 // gcd, width // gcd
+    g = (n + per - 1) // per
+    vp = np.zeros(g * per, dtype=np.uint64)
+    vp[:n] = v
+    # transpose to contiguous lanes: the column ops below then stream
+    # sequentially instead of striding per*8 bytes (2-3x, measured)
+    vpt = np.ascontiguousarray(vp.reshape(g, per).T)
+    words = np.zeros((q, g), dtype=np.uint64)
+    for k in range(per):
+        p = k * width
+        j, r = p >> 6, p & 63
+        if r + width <= 64:
+            words[j] |= vpt[k] << np.uint64(64 - r - width)
+        else:
+            words[j] |= vpt[k] >> np.uint64(r + width - 64)
+            words[j + 1] |= vpt[k] << np.uint64(128 - r - width)
+    return (np.ascontiguousarray(words.T).astype(">u8")
+            .tobytes()[:(n * width + 7) // 8])
+
+
+def unpack_bits(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of pack_bits -> uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if width in (8, 16, 32, 64):
+        return np.frombuffer(buf, dtype=f">u{width // 8}",
+                             count=n).astype(np.uint64)
+    if n < _LANE_MIN_N:
+        return _unpack_bits_matrix(buf, width, n)
+    gcd = math.gcd(width, 64)
+    per, q = 64 // gcd, width // gcd
+    g = (n + per - 1) // per
+    nbytes = (n * width + 7) // 8
+    raw = np.zeros(g * q * 8, dtype=np.uint8)
+    raw[:nbytes] = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    words = np.ascontiguousarray(
+        raw.view(">u8").astype(np.uint64).reshape(g, q).T)
+    out = np.empty((per, g), dtype=np.uint64)
+    for k in range(per):
+        p = k * width
+        j, r = p >> 6, p & 63
+        part = (words[j] << np.uint64(r)) >> np.uint64(64 - width)
+        if r + width > 64:
+            part = part | (words[j + 1] >> np.uint64(128 - r - width))
+        out[k] = part
+    return np.ascontiguousarray(out.T).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,23 @@ def test_pack_bits_widths(width):
     np.testing.assert_array_equal(unpack_bits(buf, width, 1000), v)
 
 
+@pytest.mark.parametrize("width", [1, 3, 5, 9, 12, 17, 23, 31, 33, 47, 63])
+def test_pack_bits_lane_matrix_equivalence(width):
+    """The lane kernel (large-n path) and the bit-matrix form must emit
+    IDENTICAL bytes and invert each other across the size cutoff — the
+    wire format is pinned by the matrix form, the lane kernel is the
+    throughput implementation of the same stream."""
+    from rle_spark.codecs.base import (_LANE_MIN_N, _pack_bits_matrix,
+                                       _unpack_bits_matrix)
+    rng = np.random.default_rng(100 + width)
+    for n in (_LANE_MIN_N - 1, _LANE_MIN_N, _LANE_MIN_N * 3 + 7):
+        v = rng.integers(0, 1 << width, n, dtype=np.uint64)
+        buf = pack_bits(v, width)
+        assert buf == _pack_bits_matrix(v, width)
+        np.testing.assert_array_equal(unpack_bits(buf, width, n), v)
+        np.testing.assert_array_equal(_unpack_bits_matrix(buf, width, n), v)
+
+
 def test_pack_ints_full_range():
     v = np.array([-2**63, 2**63 - 1, 0, -1, 1], dtype=np.int64)
     np.testing.assert_array_equal(unpack_ints(pack_ints(v)), v)
