@@ -109,7 +109,7 @@ def _unpack_bits_matrix(buf, width: int, n: int) -> np.ndarray:
 _LANE_MIN_N = 4096
 
 
-def pack_bits(values: np.ndarray, width: int) -> bytes:
+def pack_bits(values: np.ndarray, width: int, fits: bool = False) -> bytes:
     """Pack non-negative integers into `width` bits each (MSB-first).
 
     Reference precedent: the 2/3/4/8-bit block packing of rle8_mmtf128
@@ -135,12 +135,17 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         # loop runs 64 near-empty column ops — packbits wins (measured)
         return _pack_bits_matrix(values, width)
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    v = v & np.uint64((1 << width) - 1)  # matrix form drops high bits too
+    if not fits:
+        # matrix form drops high bits too; callers that guarantee
+        # values < 2^width (pack_ints: width = bit_width(span)) pass
+        # fits=True and skip this full mask pass
+        v = v & np.uint64((1 << width) - 1)
     gcd = math.gcd(width, 64)
     per, q = 64 // gcd, width // gcd
     g = (n + per - 1) // per
-    vp = np.zeros(g * per, dtype=np.uint64)
+    vp = np.empty(g * per, dtype=np.uint64)
     vp[:n] = v
+    vp[n:] = 0
     # transpose to contiguous lanes: the column ops below then stream
     # sequentially instead of striding per*8 bytes (2-3x, measured)
     vpt = np.ascontiguousarray(vp.reshape(g, per).T)
@@ -170,8 +175,13 @@ def unpack_bits(buf: bytes | memoryview, width: int, n: int) -> np.ndarray:
     per, q = 64 // gcd, width // gcd
     g = (n + per - 1) // per
     nbytes = (n * width + 7) // 8
-    raw = np.zeros(g * q * 8, dtype=np.uint8)
+    full = g * q * 8
+    raw = np.empty(full, dtype=np.uint8)
     raw[:nbytes] = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    raw[nbytes:] = 0
+    # contiguous byteswap pass then contiguous transpose pass: measured
+    # faster than fusing both into one strided astype (NumPy's strided
+    # byteswap-cast falls off the vectorized path)
     words = np.ascontiguousarray(
         raw.view(">u8").astype(np.uint64).reshape(g, q).T)
     out = np.empty((per, g), dtype=np.uint64)
@@ -210,7 +220,7 @@ def pack_ints(arr: np.ndarray) -> bytes:
     w = bit_width(span)
     # single fused pass from the source dtype to the int64 remainders
     d = np.subtract(a, np.int64(lo), dtype=np.int64)
-    payload = pack_bits(d.view(np.uint64), w)
+    payload = pack_bits(d.view(np.uint64), w, fits=True)
     return struct.pack("<qBQ", lo, w, n) + payload
 
 
@@ -218,7 +228,11 @@ def unpack_ints(buf: bytes | memoryview) -> np.ndarray:
     mv = memoryview(buf)
     lo, w, n = struct.unpack_from("<qBQ", mv, 0)
     vals = unpack_bits(mv[17:], w, n).view(np.int64)
-    return vals + np.int64(lo)
+    if lo:
+        # every unpack_bits path returns a fresh owned array — add the
+        # frame of reference in place instead of allocating another
+        np.add(vals, np.int64(lo), out=vals)
+    return vals
 
 
 def pack_ints_size(n: int, lo: int, hi: int) -> int:

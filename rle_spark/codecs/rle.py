@@ -245,6 +245,15 @@ def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     lit_values = unpack_ints(s[3])
     if len(s) > 4 and len(s[4]) and s[4][0] == 1 and len(run_values) > 1:
         run_values = np.cumsum(run_values)
+    dt = np.dtype(dtype)
+    if dt != np.int64:
+        # downcast the SMALL value streams before the O(n) repeat so the
+        # output materializes at the target width directly (int32 tokens:
+        # 4 B/elem writes instead of 8 B + a full converting copy after);
+        # values fit dt by construction (they were encoded from dt), and
+        # the packed cumsum above already ran in mod-2^64 int64
+        run_values = run_values.astype(dt, copy=False)
+        lit_values = lit_values.astype(dt, copy=False)
     k = len(run_lens)
     if k == 0:
         out = lit_values
@@ -256,4 +265,4 @@ def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
         counts = np.ones(len(values), dtype=np.int64)
         counts[ins_pos + np.arange(k)] = run_lens
         out = np.repeat(values, counts)
-    return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out
+    return out.astype(dt, copy=False)
