@@ -224,9 +224,51 @@ def pack_ints(arr: np.ndarray) -> bytes:
     return struct.pack("<qBQ", lo, w, n) + payload
 
 
-def unpack_ints(buf: bytes | memoryview) -> np.ndarray:
+def _unpack_bits_u32(buf, width: int, n: int) -> np.ndarray:
+    """unpack_bits emitting uint32 (width <= 32): same wire stream, but
+    the per-lane store casts to 4 B, halving the transpose pass — and
+    int32 consumers then skip a converting copy of the whole stream."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint32)
+    if width in (8, 16, 32):
+        return np.frombuffer(buf, dtype=f">u{width // 8}",
+                             count=n).astype(np.uint32)
+    if n < _LANE_MIN_N:
+        return _unpack_bits_matrix(buf, width, n).astype(np.uint32)
+    gcd = math.gcd(width, 64)
+    per, q = 64 // gcd, width // gcd
+    g = (n + per - 1) // per
+    nbytes = (n * width + 7) // 8
+    raw = np.empty(g * q * 8, dtype=np.uint8)
+    raw[:nbytes] = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    raw[nbytes:] = 0
+    words = np.ascontiguousarray(
+        raw.view(">u8").astype(np.uint64).reshape(g, q).T)
+    out = np.empty((per, g), dtype=np.uint32)
+    for k in range(per):
+        p = k * width
+        j, r = p >> 6, p & 63
+        part = (words[j] << np.uint64(r)) >> np.uint64(64 - width)
+        if r + width > 64:
+            part = part | (words[j + 1] >> np.uint64(128 - r - width))
+        out[k] = part  # casting store: one pass, contiguous row
+    return np.ascontiguousarray(out.T).reshape(-1)[:n]
+
+
+def unpack_ints(buf: bytes | memoryview, out_dtype=None) -> np.ndarray:
+    """Decode pack_ints. With out_dtype=int32 the stream is emitted
+    directly as int32 whenever lo + 2^w - 1 provably fits (remainders
+    are in [0, 2^w-1], so the mod-2^32 add is exact when the true value
+    fits) — callers must still accept an int64 fallback."""
     mv = memoryview(buf)
     lo, w, n = struct.unpack_from("<qBQ", mv, 0)
+    if (out_dtype is not None and np.dtype(out_dtype) == np.int32
+            and w <= 32 and -(1 << 31) <= lo
+            and lo + (1 << w) - 1 <= (1 << 31) - 1):
+        vals32 = _unpack_bits_u32(mv[17:], w, n).view(np.int32)
+        if lo:
+            np.add(vals32, np.int32(lo), out=vals32)
+        return vals32
     vals = unpack_bits(mv[17:], w, n).view(np.int64)
     if lo:
         # every unpack_bits path returns a fresh owned array — add the

@@ -50,8 +50,13 @@ def dict_encode(arr: np.ndarray) -> bytes:
 def dict_decode(buf: bytes | memoryview, dtype=np.int64) -> np.ndarray:
     s = unpack_sections(buf)
     uniq = np.cumsum(unpack_ints(s[0]))
-    codes = unpack_ints(s[1])
+    # codes are in [0, |dict|) so the int32 emission always engages;
+    # downcasting the small dict table before the O(n) gather makes the
+    # output materialize at the target width directly
+    codes = unpack_ints(s[1], out_dtype=np.int32)
     if len(uniq) == 0:
         return np.zeros(0, dtype=dtype)
-    out = uniq[codes]
-    return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out
+    dt = np.dtype(dtype)
+    if dt != np.int64:
+        uniq = uniq.astype(dt, copy=False)
+    return uniq[codes]

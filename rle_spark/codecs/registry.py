@@ -96,7 +96,8 @@ def _for_encode(arr):
 
 
 def _for_decode(buf, n):
-    return unpack_ints(buf).astype(TOKEN_DTYPE)
+    return unpack_ints(buf, out_dtype=TOKEN_DTYPE).astype(TOKEN_DTYPE,
+                                                          copy=False)
 
 
 def _delta_encode(arr):

@@ -242,7 +242,10 @@ def rle_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     run_values = unpack_ints(s[0])
     run_lens = unpack_ints(s[1])
     lit_lens = unpack_ints(s[2])
-    lit_values = unpack_ints(s[3])
+    # the literal stream is the O(n) one: emit it at the target width
+    # directly when it fits (int64 fallback is handled by the downcast
+    # below); run_values stay int64 for the exact mod-2^64 cumsum
+    lit_values = unpack_ints(s[3], out_dtype=dtype)
     if len(s) > 4 and len(s[4]) and s[4][0] == 1 and len(run_values) > 1:
         run_values = np.cumsum(run_values)
     dt = np.dtype(dtype)

@@ -102,6 +102,44 @@ def test_pack_ints_full_range():
     np.testing.assert_array_equal(out, u)
 
 
+@pytest.mark.parametrize("lo,span_bits", [
+    (0, 7), (-50, 7), (0, 20), (-2**30, 31),
+    (2**31 - 2**10, 10),                # hugs the int32 ceiling exactly
+    (-2**31, 10),                       # hugs the int32 floor
+])
+def test_unpack_ints_int32_emission(lo, span_bits):
+    """unpack_ints(out_dtype=int32) must agree with the int64 path and
+    actually emit int32 whenever lo + 2^w - 1 fits — across the lane
+    cutoff and at both int32 boundaries. The span is width-tight
+    (forced to exactly 2^span_bits - 1) because the engagement check is
+    conservative: it bounds by the packed width, not the actual max."""
+    from rle_spark.codecs.base import _LANE_MIN_N
+    rng = np.random.default_rng(lo & 0xffff | 1)
+    span = 2**span_bits - 1
+    for n in (37, _LANE_MIN_N * 2 + 5):
+        v = rng.integers(lo, lo + span + 1, n, dtype=np.int64)
+        v[0], v[1] = lo, lo + span  # pin the width to span_bits
+        buf = pack_ints(v)
+        out = unpack_ints(buf, out_dtype=np.int32)
+        assert out.dtype == np.int32
+        np.testing.assert_array_equal(out.astype(np.int64), v)
+        np.testing.assert_array_equal(unpack_ints(buf), v)
+
+
+def test_unpack_ints_int32_fallback():
+    """Values outside int32 (or a width bound that can't prove the fit)
+    must fall back to exact int64 output."""
+    v = np.array([-2**40, 2**40, 0, 7], dtype=np.int64)
+    out = unpack_ints(pack_ints(v), out_dtype=np.int32)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out, v)
+    # lo fits int32 but lo + 2^w - 1 overflows: must also fall back
+    w = np.array([2**31 - 2, -5], dtype=np.int64)
+    out = unpack_ints(pack_ints(w), out_dtype=np.int32)
+    assert out.dtype == np.int64
+    np.testing.assert_array_equal(out, w)
+
+
 def test_sections_tail_safety():
     buf = pack_sections([b"abc", b"", b"xyz123"])
     parts = unpack_sections(buf + b"garbagegarbage")
