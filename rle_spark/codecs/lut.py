@@ -76,7 +76,8 @@ def lut_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     s = unpack_sections(buf)
     run_lens = unpack_ints(s[0])
     lit_lens = unpack_ints(s[1])
-    lit_values = unpack_ints(s[2])
+    lit_values = unpack_ints(
+        s[2], out_dtype=np.int32 if np.dtype(dtype) == np.int32 else None)
     k = len(run_lens)
     if k:
         hit = unpack_bits(s[3], 1, k).astype(bool)
@@ -100,7 +101,11 @@ def lut_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     seg[0::2] = lit_lens
     seg[1::2] = run_lens
     starts = np.cumsum(seg) - seg
-    out = np.empty(int(seg.sum()), dtype=np.int64)
+    # int32 targets assemble in int32 directly (fancy-index stores
+    # cast); run_values stay int64 — the chain resolution above is O(k)
+    dt = np.dtype(dtype)
+    out = np.empty(int(seg.sum()),
+                   dtype=np.int32 if dt == np.int32 else np.int64)
     scatter_segments(out, starts[0::2], lit_lens, lit_values)
     fill_runs(out, starts[1::2], run_lens, run_values)
-    return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out
+    return out.astype(dt, copy=False)

@@ -88,14 +88,19 @@ def single_decode_symbols(buf: bytes | memoryview, dtype) -> np.ndarray:
     symbol = int(unpack_ints(s[0])[0])
     run_lens = unpack_ints(s[1])
     lit_lens = unpack_ints(s[2])
-    lit_values = unpack_ints(s[3])
+    # int32 targets assemble in int32 directly: the O(n) literal stream
+    # is emitted at 4 B/elem and the final converting copy disappears
+    # (values fit dtype by construction — they were encoded from it)
+    dt = np.dtype(dtype)
+    work = np.int32 if dt == np.int32 else np.int64
+    lit_values = unpack_ints(s[3], out_dtype=work)
     k = len(run_lens)
     seg = np.empty(2 * k + 1, dtype=np.int64)
     seg[0::2] = lit_lens
     seg[1::2] = run_lens
     starts = np.cumsum(seg) - seg
-    out = np.empty(int(seg.sum()), dtype=np.int64)
+    out = np.empty(int(seg.sum()), dtype=work)
     scatter_segments(out, starts[0::2], lit_lens, lit_values)
     fill_runs(out, starts[1::2], run_lens,
-              np.full(k, symbol, dtype=np.int64))
-    return out.astype(dtype, copy=False) if np.dtype(dtype) != np.int64 else out
+              np.full(k, symbol, dtype=work))
+    return out.astype(dt, copy=False)
