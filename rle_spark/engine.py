@@ -503,7 +503,8 @@ def _decode_iter(batches):
             row1, tok_budget = row0, 256 << 20  # 256M tokens/out batch
             flats = []
             while row1 < n:
-                t = decode_block(payloads[row1].as_py())
+                # as_buffer: zero-copy view of the Arrow payload slab
+                t = decode_block(payloads[row1].as_buffer())
                 flats.append(t)
                 tok_budget -= len(t)
                 row1 += 1
