@@ -296,13 +296,24 @@ def per_codec_entropy(out_dir: str) -> dict:
             ir = 0.0
         r = (c / o) if o else 1.0
         t0 = _time.time()
-        for payload, _nt in blocks:
-            decode_block(payload)  # framed: strips the 15-byte header
+        decoded = [decode_block(payload)  # framed: strips the header
+                   for payload, _nt in blocks]
         dwall = _time.time() - t0
+        # encode replay over the same decoded arrays: the reference
+        # benchmark's per-codec enc MiB/s column (README.md tables) —
+        # pure codec span, input already an in-memory buffer exactly
+        # like the reference's timed loop (src/main.c:808-828)
+        from rle_spark.codecs import REGISTRY as _REG
+        enc = _REG[cname].encode
+        t0 = _time.time()
+        for arr in decoded:
+            enc(arr)
+        ewall = _time.time() - t0
         out[cname] = {"blocks": n, "orig_bytes": int(o),
                       "comp_bytes": int(c), "ratio": round(r, 4),
                       "info_ratio": round(ir, 4),
                       "rh": round(r * ir, 4),
+                      "enc_GBps": round(o / ewall / 1e9, 3) if ewall else None,
                       "dec_GBps": round(o / dwall / 1e9, 3) if dwall else None}
     return out
 
