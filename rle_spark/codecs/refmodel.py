@@ -149,7 +149,21 @@ _SHORT_INIT = {
 }
 
 
-def ref_short_size_exact(img: np.ndarray, sym_count: int = 7) -> int:
+_SHORT_SEEDS32 = {
+    1: [0x00000000],
+    3: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF],
+    7: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF, 0x01010101,
+        0x7E7E7E7E, 0x80808080, 0xFEFEFEFE],
+}
+
+
+def ref_short_size_exact(img: np.ndarray, sym_count: int = 7,
+                         sym_bytes: int = 1) -> int:
+    """sym_bytes=1: width-8 form. sym_bytes=4: the rle32 SYM-mode form
+    (runs on whole uint32 symbols, the stored count is in SYMBOLS —
+    storedCount = count/(TS/8) - MIN_RANGE_SHORT/(TS/8) + 2,
+    rleX_Xsl_short.h:171-174 — range stays a byte distance, a LUT miss
+    costs sym_bytes both in the stream and in the accept penalty)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     n = len(img)
     lut_bits, cbp = _SHORT_PARAMS[sym_count]
@@ -159,47 +173,56 @@ def ref_short_size_exact(img: np.ndarray, sym_count: int = 7) -> int:
     max_packed_count = (1 << cbp) - 2
     max_packed_range = (1 << rbp) - 1
     max_tiny_range = (1 << range_bits) - 1
-    min_long = 3 + 4 + 4 + 1
+    min_long = 3 + 4 + 4 + sym_bytes
     size = 8  # 2*u32 header
-    if n == 0:
-        return size + 9
-    lut = list(_SHORT_INIT[sym_count])
-    starts, lens = find_runs(img)
-    last_rle = 0
+    n_sym = n // sym_bytes
+    if n_sym == 0:
+        return size + 9 + n
+    if sym_bytes == 1:
+        sym = img
+        lut = list(_SHORT_INIT[sym_count])
+    else:
+        sym = img[: n_sym * sym_bytes].view(f"<u{sym_bytes}")
+        lut = list(_SHORT_SEEDS32[sym_count])
+    starts, lens = find_runs(sym)
+    last_rle = 0  # bytes
     for s, ln, v in zip(starts.tolist(), lens.tolist(),
-                        img[starts].tolist()):
-        if ln < 2:
+                        sym[starts].tolist()):
+        cb = ln * sym_bytes  # run bytes
+        sb = s * sym_bytes
+        if cb < 2:
             continue
-        rng = s - last_rle + 2
+        rng = sb - last_rle + 2
+        stored = ln - (2 // sym_bytes) + 2
         miss = v not in lut
-        pen = 1 if miss else 0
+        pen = sym_bytes if miss else 0
         tiny = (rng - 2 <= max_packed_range
-                and ln - 2 <= max_packed_count)
+                and stored - 2 <= max_packed_count)
         if not tiny:
             pen += 2
-            if not (ln <= 511 and rng <= max_tiny_range):
+            if not (stored <= 511 and rng <= max_tiny_range):
                 pen += (0 if rng <= max_tiny_range
                         else 2 if rng <= 0xFFFFF else 4)
-                pen += 0 if ln <= 511 else 2 if ln <= 0xFFFFF else 4
-        if not (ln >= min_long or ln >= 2 + pen):
+                pen += 0 if stored <= 511 else 2 if stored <= 0xFFFFF else 4
+        if not (cb >= min_long or cb >= 2 + pen):
             continue
         if tiny:
             size += 1
         else:
             size += 3
-            size += 0 if ln <= 511 else 2 if ln <= 0xFFFF else 4
+            size += 0 if stored <= 511 else 2 if stored <= 0xFFFF else 4
             size += (0 if rng <= max_tiny_range
                      else 2 if rng <= 0xFFFF else 4)
         if miss:
-            size += 1
+            size += sym_bytes
             lut.insert(0, v)
             lut.pop()
         else:
             i = lut.index(v)
             if i:
                 lut.insert(0, lut.pop(i))
-        size += s - last_rle  # literals
-        last_rle = s + ln
+        size += sb - last_rle  # literals
+        last_rle = sb + cb
     if last_rle == n:
         return size + 7
     return size + 9 + (n - last_rle)

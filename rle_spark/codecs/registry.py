@@ -53,6 +53,8 @@ from .rle import (
     rle_stride_encode_bytes,
 )
 from .short import (
+    short32_decode_bytes,
+    short32_encode_bytes,
     short32_greedy_decode_bytes,
     short32_greedy_encode_bytes,
     short_decode_bytes,
@@ -431,6 +433,15 @@ def _short8_decode(sym_count):
     return dec
 
 
+def _short32_sym_encode(arr):
+    return short32_encode_bytes(tokens_to_bytes(_as_tokens(arr)), 3)
+
+
+def _short32_sym_decode(buf, n):
+    img = short32_decode_bytes(buf, 3)[: n * 4]
+    return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+
+
 def _short32_greedy_encode(arr):
     return short32_greedy_encode_bytes(tokens_to_bytes(_as_tokens(arr)))
 
@@ -448,6 +459,10 @@ _register(33, "rle8_7sl_short", _short8_encode(7), _short8_decode(7),
           lambda st: None)
 _register(34, "rle32_3sl_byte_short_greedy", _short32_greedy_encode,
           _short32_greedy_decode, lambda st: None)
+# width-32 SYM-mode short (rle32_3symlut_short): one symbol == one
+# token, so this is the short grammar running natively on token runs
+_register(35, "rle32_3sl_short", _short32_sym_encode,
+          _short32_sym_decode, lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -465,7 +480,7 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
                      "rle48_sym",
                      "rle8_1sl_short", "rle8_3sl_short", "rle8_7sl_short",
-                     "rle32_3sl_byte_short_greedy"]
+                     "rle32_3sl_short", "rle32_3sl_byte_short_greedy"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

@@ -296,6 +296,164 @@ def short_decode_bytes(buf: bytes | memoryview,
 
 
 # ---------------------------------------------------------------------------
+# F5 at width 32, SYM-aligned: rle32_Xsymlut_short
+# ---------------------------------------------------------------------------
+
+# LUT seeds are the byte seeds broadcast across the symbol
+# (rleX_Xsl_short.h:762-770: 0x00/0x7F/0xFF * VALUE_BROADCAST)
+_INIT_LUT32 = {
+    1: [0x00000000],
+    3: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF],
+    7: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF, 0x01010101,
+        0x7E7E7E7E, 0x80808080, 0xFEFEFEFE],
+}
+
+
+def short32_encode_bytes(img: np.ndarray, sym_count: int = 3) -> bytes:
+    """Width-32 SYM-mode Xsymlut_short: the same command grammar as the
+    width-8 form, but runs are whole-uint32-symbol runs and the command
+    count field stores SYMBOLS — the reference divides the byte count
+    by TYPE_SIZE/8 when storing (rleX_Xsl_short.h:171-174:
+    storedCount = count/(TS/8) - MIN_RANGE_SHORT/(TS/8) + 2, and
+    2/4 == 0, so stored = n_syms + 2); range stays a byte distance; a
+    LUT miss spells the 4-byte symbol (penalty 4, :187). Any unaligned
+    trailing bytes ride the terminal copy."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    n = len(img)
+    b = _budgets(sym_count, 4)
+    out = bytearray(struct.pack("<II", n, 0))
+    lut = list(_INIT_LUT32[sym_count])
+    n_sym = n // 4
+    if n_sym == 0:
+        out += _terminal(b, sym_count, accepted=False, tail=img.tobytes())
+        struct.pack_into("<I", out, 4, len(out))
+        return bytes(out)
+    u32 = img[: 4 * n_sym].view("<u4")
+    starts, lens = find_runs(u32)
+    last_rle = 0  # byte offset
+    min_long = b["min_long"]  # 3 + 4 + 4 + 4 = 15 bytes
+    for s, ln, v in zip(starts.tolist(), lens.tolist(),
+                        u32[starts].tolist()):
+        cb = 4 * ln  # run bytes
+        sb = 4 * s
+        rng = sb - last_rle + _RANGE_OFFSET
+        try:
+            idx = lut.index(v)
+            miss = False
+        except ValueError:
+            idx = sym_count
+            miss = True
+        stored = ln + _COUNT_OFFSET  # symbols (+2, see docstring)
+        if not (cb >= min_long
+                or cb >= 2 + _penalty(b, miss, 4, stored, rng)):
+            continue
+        cmd, cesc, resc = _cmd_parts(b, idx, sym_count, stored, rng)
+        out += cmd
+        out += cesc
+        out += resc
+        if miss:
+            out += struct.pack("<I", v)
+            lut.insert(0, v)
+            lut.pop()
+        elif idx:
+            lut.insert(0, lut.pop(idx))
+        out += img[last_rle:sb].tobytes()
+        last_rle = sb + cb
+    out += _terminal(b, sym_count, accepted=(last_rle == n),
+                     tail=img[last_rle:].tobytes())
+    struct.pack_into("<I", out, 4, len(out))
+    return bytes(out)
+
+
+def short32_decode_bytes(buf: bytes | memoryview,
+                         sym_count: int = 3) -> np.ndarray:
+    """Parse the width-32 sym-mode stream back to the byte image: same
+    command walk as width-8, counts are symbols, misses carry 4-byte
+    symbols; materialization is one uint32 np.repeat + the byte tail."""
+    mv = memoryview(buf)
+    n = struct.unpack_from("<I", mv, 0)[0]
+    b = _budgets(sym_count, 4)
+    lut = list(_INIT_LUT32[sym_count])
+    pos = 8
+    lit_spans: list[tuple[int, int]] = []  # (offset, BYTE length), 4-mult
+    run_vals: list[int] = []
+    run_lens: list[int] = []               # SYMBOL counts
+    cbp, rbp = b["cbp"], b["rbp"]
+    tail_span = (0, 0)
+    while True:
+        first = mv[pos]
+        count3f = (first >> rbp) & ((1 << cbp) - 1)
+        if count3f != b["invalid"]:
+            idx = first >> (cbp + rbp)
+            n_syms = count3f  # stored - offset
+            lit_len = first & ((1 << rbp) - 1)
+            pos += 1
+        else:
+            idx, scx, rx = _parse_medium(b, first, mv[pos + 1],
+                                         mv[pos + 2])
+            pos += 3
+            if scx == 1:
+                stored = struct.unpack_from("<H", mv, pos)[0]
+                pos += 2
+            elif scx == 0:
+                stored = struct.unpack_from("<I", mv, pos)[0]
+                pos += 4
+            else:
+                stored = scx
+            if rx == 1:
+                rng = struct.unpack_from("<H", mv, pos)[0]
+                pos += 2
+            elif rx == 0:
+                rng = struct.unpack_from("<I", mv, pos)[0]
+                pos += 4
+            else:
+                rng = rx
+            if stored == 0:  # terminal
+                tail_span = (pos, max(rng - _RANGE_OFFSET, 0))
+                break
+            n_syms = stored - _COUNT_OFFSET
+            lit_len = rng - _RANGE_OFFSET
+        if idx == sym_count:
+            v = struct.unpack_from("<I", mv, pos)[0]
+            pos += 4
+            lut.insert(0, v)
+            lut.pop()
+        else:
+            v = lut[idx]
+            if idx:
+                lut.insert(0, lut.pop(idx))
+        lit_spans.append((pos, lit_len))
+        pos += lit_len
+        run_vals.append(v)
+        run_lens.append(n_syms)
+    base = np.frombuffer(mv, dtype=np.uint8)
+    k = len(run_vals)
+    # aligned body in u32 space (mid-stream literals are 4-multiples in
+    # sym mode), one-repeat materialization; the byte tail is appended.
+    # frombuffer(offset=...) tolerates the arbitrary byte offsets the
+    # command stream leaves literals at (a .view would require align-4)
+    lit_parts = [np.frombuffer(mv, "<u4", count=ln // 4, offset=o)
+                 for o, ln in lit_spans]
+    lits = (np.concatenate(lit_parts) if lit_parts
+            else np.zeros(0, "<u4"))
+    values = np.empty(len(lits) + k, dtype="<u4")
+    counts = np.ones(len(lits) + k, dtype=np.int64)
+    lit_cum = (np.cumsum([sp[1] // 4 for sp in lit_spans])
+               if k else np.zeros(0, np.int64))
+    ins = lit_cum + np.arange(k)
+    mask = np.zeros(len(values), dtype=bool)
+    mask[ins] = True
+    values[~mask] = lits
+    values[ins] = run_vals
+    counts[ins] = run_lens
+    body = np.repeat(values, counts).view(np.uint8)
+    tail = base[tail_span[0]:tail_span[0] + tail_span[1]]
+    out = np.concatenate((body, tail)) if len(tail) else body
+    assert len(out) == n, f"short32 decode length {len(out)} != {n}"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # F6: width-32 byte-mode greedy (partial-symbol runs + LUT restart)
 # ---------------------------------------------------------------------------
 

@@ -346,7 +346,7 @@ def test_low_entropy_single_restricts_to_argmax_symbol():
                                    "rle32_sym", "rle64_sym",
                                    "dict_bitpack", "rle16_byte",
                                    "rle32_byte", "rle8_le_single",
-                                   "rle8_3sl_short",
+                                   "rle8_3sl_short", "rle32_3sl_short",
                                    "rle32_3sl_byte_short_greedy"])
 def test_exhaustive_length_sweep(codec):
     """Iterative fuzz mode (rle_fuzz.c:159-283 analogue): EVERY small
@@ -395,6 +395,29 @@ def test_short_stream_size_matches_ref_model(sc):
     # deterministic random case (same array both sides)
     r = rng.integers(0, 256, 9000, dtype=np.uint8)
     assert len(short_encode_bytes(r, sc)) == ref_short_size_exact(r, sc)
+
+
+@pytest.mark.parametrize("sc", [1, 3, 7])
+def test_short32_sym_stream_matches_ref_model(sc):
+    """Width-32 SYM-mode short (counts stored in symbols,
+    rleX_Xsl_short.h:171-174): roundtrip + byte-for-byte size parity
+    with refmodel's independent replay, across aligned and unaligned
+    tail lengths and token-shaped images."""
+    from rle_spark.codecs.refmodel import ref_short_size_exact
+    from rle_spark.codecs.short import (short32_decode_bytes,
+                                        short32_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(32 + sc)
+    cases = [fuzz_tokens(s, vocab=40).view(np.uint8) for s in range(6)]
+    cases += [rng.integers(0, 256, L).astype(np.uint8)
+              for L in (0, 1, 3, 4, 5, 17, 4097)]
+    v = rng.integers(0, 2**32 - 1)
+    cases.append(np.full(600, v, "<u4").view(np.uint8)[:2399])
+    for img in cases:
+        buf = short32_encode_bytes(img, sc)
+        np.testing.assert_array_equal(short32_decode_bytes(buf, sc),
+                                      np.ascontiguousarray(img, np.uint8))
+        assert len(buf) == ref_short_size_exact(img, sc, sym_bytes=4)
 
 
 def test_short_beats_reference_base_rle_on_runny_corpora():
