@@ -149,12 +149,11 @@ _SHORT_INIT = {
 }
 
 
-_SHORT_SEEDS32 = {
-    1: [0x00000000],
-    3: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF],
-    7: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF, 0x01010101,
-        0x7E7E7E7E, 0x80808080, 0xFEFEFEFE],
-}
+def _short_seeds_wide(sym_count: int, sym_bytes: int) -> list[int]:
+    """Byte seeds broadcast across the symbol width (the reference's
+    0x00/0x7F/0xFF * VALUE_BROADCAST, rleX_Xsl_short.h:762-770)."""
+    bc = int.from_bytes(b"\x01" * sym_bytes, "little")
+    return [s * bc for s in _SHORT_INIT[sym_count]]
 
 
 def ref_short_size_exact(img: np.ndarray, sym_count: int = 7,
@@ -183,7 +182,7 @@ def ref_short_size_exact(img: np.ndarray, sym_count: int = 7,
         lut = list(_SHORT_INIT[sym_count])
     else:
         sym = img[: n_sym * sym_bytes].view(f"<u{sym_bytes}")
-        lut = list(_SHORT_SEEDS32[sym_count])
+        lut = _short_seeds_wide(sym_count, sym_bytes)
     starts, lens = find_runs(sym)
     last_rle = 0  # bytes
     for s, ln, v in zip(starts.tolist(), lens.tolist(),

@@ -53,12 +53,12 @@ from .rle import (
     rle_stride_encode_bytes,
 )
 from .short import (
-    short32_decode_bytes,
-    short32_encode_bytes,
     short32_greedy_decode_bytes,
     short32_greedy_encode_bytes,
     short_decode_bytes,
     short_encode_bytes,
+    short_sym_decode_bytes,
+    short_sym_encode_bytes,
 )
 from .single import single_decode_symbols, single_encode_symbols
 
@@ -433,13 +433,18 @@ def _short8_decode(sym_count):
     return dec
 
 
-def _short32_sym_encode(arr):
-    return short32_encode_bytes(tokens_to_bytes(_as_tokens(arr)), 3)
+def _short_sym_encode(sym_bytes):
+    def enc(arr):
+        return short_sym_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
+                                      3, sym_bytes)
+    return enc
 
 
-def _short32_sym_decode(buf, n):
-    img = short32_decode_bytes(buf, 3)[: n * 4]
-    return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+def _short_sym_decode(sym_bytes):
+    def dec(buf, n):
+        img = short_sym_decode_bytes(buf, 3, sym_bytes)[: n * 4]
+        return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+    return dec
 
 
 def _short32_greedy_encode(arr):
@@ -459,10 +464,15 @@ _register(33, "rle8_7sl_short", _short8_encode(7), _short8_decode(7),
           lambda st: None)
 _register(34, "rle32_3sl_byte_short_greedy", _short32_greedy_encode,
           _short32_greedy_decode, lambda st: None)
-# width-32 SYM-mode short (rle32_3symlut_short): one symbol == one
-# token, so this is the short grammar running natively on token runs
-_register(35, "rle32_3sl_short", _short32_sym_encode,
-          _short32_sym_decode, lambda st: None)
+# SYM-mode short at widths 16/32/64 (rle{16,32,64}_3symlut_short):
+# at width 32 one symbol == one token, so that one is the short
+# grammar running natively on token runs
+_register(35, "rle32_3sl_short", _short_sym_encode(4),
+          _short_sym_decode(4), lambda st: None)
+_register(36, "rle16_3sl_short", _short_sym_encode(2),
+          _short_sym_decode(2), lambda st: None)
+_register(37, "rle64_3sl_short", _short_sym_encode(8),
+          _short_sym_decode(8), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -480,7 +490,8 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
                      "rle48_sym",
                      "rle8_1sl_short", "rle8_3sl_short", "rle8_7sl_short",
-                     "rle32_3sl_short", "rle32_3sl_byte_short_greedy"]
+                     "rle16_3sl_short", "rle32_3sl_short",
+                     "rle64_3sl_short", "rle32_3sl_byte_short_greedy"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

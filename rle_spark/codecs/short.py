@@ -296,46 +296,53 @@ def short_decode_bytes(buf: bytes | memoryview,
 
 
 # ---------------------------------------------------------------------------
-# F5 at width 32, SYM-aligned: rle32_Xsymlut_short
+# F5 at widths 16/32/64, SYM-aligned: rle{16,32,64}_Xsymlut_short
 # ---------------------------------------------------------------------------
 
 # LUT seeds are the byte seeds broadcast across the symbol
 # (rleX_Xsl_short.h:762-770: 0x00/0x7F/0xFF * VALUE_BROADCAST)
-_INIT_LUT32 = {
-    1: [0x00000000],
-    3: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF],
-    7: [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF, 0x01010101,
-        0x7E7E7E7E, 0x80808080, 0xFEFEFEFE],
-}
+_SEED_BYTES = {1: [0x00], 3: [0x00, 0x7F, 0xFF],
+               7: [0x00, 0x7F, 0xFF, 0x01, 0x7E, 0x80, 0xFE]}
 
 
-def short32_encode_bytes(img: np.ndarray, sym_count: int = 3) -> bytes:
-    """Width-32 SYM-mode Xsymlut_short: the same command grammar as the
-    width-8 form, but runs are whole-uint32-symbol runs and the command
-    count field stores SYMBOLS — the reference divides the byte count
-    by TYPE_SIZE/8 when storing (rleX_Xsl_short.h:171-174:
-    storedCount = count/(TS/8) - MIN_RANGE_SHORT/(TS/8) + 2, and
-    2/4 == 0, so stored = n_syms + 2); range stays a byte distance; a
-    LUT miss spells the 4-byte symbol (penalty 4, :187). Any unaligned
-    trailing bytes ride the terminal copy."""
+def _init_lut_wide(sym_count: int, sym_bytes: int) -> list[int]:
+    bc = int.from_bytes(b"\x01" * sym_bytes, "little")  # VALUE_BROADCAST
+    return [s * bc for s in _SEED_BYTES[sym_count]]
+
+
+_SYM_PACK = {2: "<H", 4: "<I", 8: "<Q"}
+
+
+def short_sym_encode_bytes(img: np.ndarray, sym_count: int = 3,
+                           sym_bytes: int = 4) -> bytes:
+    """SYM-mode Xsymlut_short at widths 16/32/64: the same command
+    grammar as the width-8 form, but runs are whole-symbol runs and the
+    command count field stores SYMBOLS — the reference divides the byte
+    count by TYPE_SIZE/8 when storing (rleX_Xsl_short.h:171-174:
+    storedCount = count/(TS/8) - MIN_RANGE_SHORT/(TS/8) + 2); range
+    stays a byte distance; a LUT miss spells the sym_bytes-wide symbol
+    (penalty sym_bytes, :187). Unaligned trailing bytes ride the
+    terminal copy."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     n = len(img)
-    b = _budgets(sym_count, 4)
+    b = _budgets(sym_count, sym_bytes)
     out = bytearray(struct.pack("<II", n, 0))
-    lut = list(_INIT_LUT32[sym_count])
-    n_sym = n // 4
+    lut = _init_lut_wide(sym_count, sym_bytes)
+    n_sym = n // sym_bytes
     if n_sym == 0:
         out += _terminal(b, sym_count, accepted=False, tail=img.tobytes())
         struct.pack_into("<I", out, 4, len(out))
         return bytes(out)
-    u32 = img[: 4 * n_sym].view("<u4")
-    starts, lens = find_runs(u32)
+    sym = img[: sym_bytes * n_sym].view(f"<u{sym_bytes}")
+    starts, lens = find_runs(sym)
     last_rle = 0  # byte offset
-    min_long = b["min_long"]  # 3 + 4 + 4 + 4 = 15 bytes
+    min_long = b["min_long"]  # 3 + 4 + 4 + sym_bytes
+    sym_pack = _SYM_PACK[sym_bytes]
+    stored_off = _COUNT_OFFSET - (2 // sym_bytes)
     for s, ln, v in zip(starts.tolist(), lens.tolist(),
-                        u32[starts].tolist()):
-        cb = 4 * ln  # run bytes
-        sb = 4 * s
+                        sym[starts].tolist()):
+        cb = sym_bytes * ln  # run bytes
+        sb = sym_bytes * s
         rng = sb - last_rle + _RANGE_OFFSET
         try:
             idx = lut.index(v)
@@ -343,16 +350,16 @@ def short32_encode_bytes(img: np.ndarray, sym_count: int = 3) -> bytes:
         except ValueError:
             idx = sym_count
             miss = True
-        stored = ln + _COUNT_OFFSET  # symbols (+2, see docstring)
+        stored = ln + stored_off  # symbols (see docstring)
         if not (cb >= min_long
-                or cb >= 2 + _penalty(b, miss, 4, stored, rng)):
+                or cb >= 2 + _penalty(b, miss, sym_bytes, stored, rng)):
             continue
         cmd, cesc, resc = _cmd_parts(b, idx, sym_count, stored, rng)
         out += cmd
         out += cesc
         out += resc
         if miss:
-            out += struct.pack("<I", v)
+            out += struct.pack(sym_pack, v)
             lut.insert(0, v)
             lut.pop()
         elif idx:
@@ -365,27 +372,29 @@ def short32_encode_bytes(img: np.ndarray, sym_count: int = 3) -> bytes:
     return bytes(out)
 
 
-def short32_decode_bytes(buf: bytes | memoryview,
-                         sym_count: int = 3) -> np.ndarray:
-    """Parse the width-32 sym-mode stream back to the byte image: same
-    command walk as width-8, counts are symbols, misses carry 4-byte
-    symbols; materialization is one uint32 np.repeat + the byte tail."""
+def short_sym_decode_bytes(buf: bytes | memoryview, sym_count: int = 3,
+                           sym_bytes: int = 4) -> np.ndarray:
+    """Parse a sym-mode stream back to the byte image: same command
+    walk as width-8, counts are symbols, misses carry sym_bytes-wide
+    symbols; materialization is one symbol-wide np.repeat + byte tail."""
     mv = memoryview(buf)
     n = struct.unpack_from("<I", mv, 0)[0]
-    b = _budgets(sym_count, 4)
-    lut = list(_INIT_LUT32[sym_count])
+    b = _budgets(sym_count, sym_bytes)
+    lut = _init_lut_wide(sym_count, sym_bytes)
     pos = 8
-    lit_spans: list[tuple[int, int]] = []  # (offset, BYTE length), 4-mult
+    lit_spans: list[tuple[int, int]] = []  # (offset, BYTE length)
     run_vals: list[int] = []
     run_lens: list[int] = []               # SYMBOL counts
     cbp, rbp = b["cbp"], b["rbp"]
+    sym_pack = _SYM_PACK[sym_bytes]
+    stored_off = _COUNT_OFFSET - (2 // sym_bytes)
     tail_span = (0, 0)
     while True:
         first = mv[pos]
         count3f = (first >> rbp) & ((1 << cbp) - 1)
         if count3f != b["invalid"]:
             idx = first >> (cbp + rbp)
-            n_syms = count3f  # stored - offset
+            n_syms = count3f + _COUNT_OFFSET - stored_off
             lit_len = first & ((1 << rbp) - 1)
             pos += 1
         else:
@@ -411,11 +420,11 @@ def short32_decode_bytes(buf: bytes | memoryview,
             if stored == 0:  # terminal
                 tail_span = (pos, max(rng - _RANGE_OFFSET, 0))
                 break
-            n_syms = stored - _COUNT_OFFSET
+            n_syms = stored - stored_off
             lit_len = rng - _RANGE_OFFSET
         if idx == sym_count:
-            v = struct.unpack_from("<I", mv, pos)[0]
-            pos += 4
+            v = struct.unpack_from(sym_pack, mv, pos)[0]
+            pos += sym_bytes
             lut.insert(0, v)
             lut.pop()
         else:
@@ -428,29 +437,42 @@ def short32_decode_bytes(buf: bytes | memoryview,
         run_lens.append(n_syms)
     base = np.frombuffer(mv, dtype=np.uint8)
     k = len(run_vals)
-    # aligned body in u32 space (mid-stream literals are 4-multiples in
-    # sym mode), one-repeat materialization; the byte tail is appended.
-    # frombuffer(offset=...) tolerates the arbitrary byte offsets the
-    # command stream leaves literals at (a .view would require align-4)
-    lit_parts = [np.frombuffer(mv, "<u4", count=ln // 4, offset=o)
+    # aligned body in symbol space (mid-stream literals are sym_bytes
+    # multiples in sym mode), one-repeat materialization; the byte tail
+    # is appended. frombuffer(offset=...) tolerates the arbitrary byte
+    # offsets the command stream leaves literals at (a .view would
+    # require alignment)
+    dt = f"<u{sym_bytes}"
+    lit_parts = [np.frombuffer(mv, dt, count=ln // sym_bytes, offset=o)
                  for o, ln in lit_spans]
     lits = (np.concatenate(lit_parts) if lit_parts
-            else np.zeros(0, "<u4"))
-    values = np.empty(len(lits) + k, dtype="<u4")
+            else np.zeros(0, dt))
+    values = np.empty(len(lits) + k, dtype=dt)
     counts = np.ones(len(lits) + k, dtype=np.int64)
-    lit_cum = (np.cumsum([sp[1] // 4 for sp in lit_spans])
+    lit_cum = (np.cumsum([sp[1] // sym_bytes for sp in lit_spans])
                if k else np.zeros(0, np.int64))
     ins = lit_cum + np.arange(k)
     mask = np.zeros(len(values), dtype=bool)
     mask[ins] = True
     values[~mask] = lits
-    values[ins] = run_vals
+    # explicit dtype: a plain list assignment coerces through int64 and
+    # overflows for 64-bit symbols >= 2^63
+    values[ins] = np.array(run_vals, dtype=dt)
     counts[ins] = run_lens
     body = np.repeat(values, counts).view(np.uint8)
     tail = base[tail_span[0]:tail_span[0] + tail_span[1]]
     out = np.concatenate((body, tail)) if len(tail) else body
-    assert len(out) == n, f"short32 decode length {len(out)} != {n}"
+    assert len(out) == n, f"short sym decode length {len(out)} != {n}"
     return out
+
+
+def short32_encode_bytes(img: np.ndarray, sym_count: int = 3) -> bytes:
+    return short_sym_encode_bytes(img, sym_count, 4)
+
+
+def short32_decode_bytes(buf: bytes | memoryview,
+                         sym_count: int = 3) -> np.ndarray:
+    return short_sym_decode_bytes(buf, sym_count, 4)
 
 
 # ---------------------------------------------------------------------------

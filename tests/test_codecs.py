@@ -397,27 +397,36 @@ def test_short_stream_size_matches_ref_model(sc):
     assert len(short_encode_bytes(r, sc)) == ref_short_size_exact(r, sc)
 
 
+@pytest.mark.parametrize("sym_bytes", [2, 4, 8])
 @pytest.mark.parametrize("sc", [1, 3, 7])
-def test_short32_sym_stream_matches_ref_model(sc):
-    """Width-32 SYM-mode short (counts stored in symbols,
+def test_short_sym_stream_matches_ref_model(sc, sym_bytes):
+    """Widths 16/32/64 SYM-mode short (counts stored in symbols,
     rleX_Xsl_short.h:171-174): roundtrip + byte-for-byte size parity
     with refmodel's independent replay, across aligned and unaligned
-    tail lengths and token-shaped images."""
+    tail lengths, token-shaped images, and full-range symbols (incl.
+    the 2^64-1 broadcast seed)."""
     from rle_spark.codecs.refmodel import ref_short_size_exact
-    from rle_spark.codecs.short import (short32_decode_bytes,
-                                        short32_encode_bytes)
+    from rle_spark.codecs.short import (short_sym_decode_bytes,
+                                        short_sym_encode_bytes)
     from tests.fuzzgen import fuzz_tokens
-    rng = np.random.default_rng(32 + sc)
+    rng = np.random.default_rng(32 + sc + sym_bytes)
     cases = [fuzz_tokens(s, vocab=40).view(np.uint8) for s in range(6)]
     cases += [rng.integers(0, 256, L).astype(np.uint8)
-              for L in (0, 1, 3, 4, 5, 17, 4097)]
-    v = rng.integers(0, 2**32 - 1)
-    cases.append(np.full(600, v, "<u4").view(np.uint8)[:2399])
+              for L in (0, 1, sym_bytes - 1, sym_bytes, sym_bytes + 1,
+                        17, 4097)]
+    pal = np.array([0, (1 << (8 * sym_bytes)) - 1,
+                    int(rng.integers(1, 1 << min(8 * sym_bytes - 1, 62)))],
+                   dtype=f"<u{sym_bytes}")
+    idx = np.repeat(rng.integers(0, 3, 800), rng.integers(1, 30, 800))
+    cases.append(pal[idx].view(np.uint8))
+    cases.append(pal[idx].view(np.uint8)[:len(idx) * sym_bytes - 1])
     for img in cases:
-        buf = short32_encode_bytes(img, sc)
-        np.testing.assert_array_equal(short32_decode_bytes(buf, sc),
-                                      np.ascontiguousarray(img, np.uint8))
-        assert len(buf) == ref_short_size_exact(img, sc, sym_bytes=4)
+        buf = short_sym_encode_bytes(img, sc, sym_bytes)
+        np.testing.assert_array_equal(
+            short_sym_decode_bytes(buf, sc, sym_bytes),
+            np.ascontiguousarray(img, np.uint8))
+        assert len(buf) == ref_short_size_exact(img, sc,
+                                                sym_bytes=sym_bytes)
 
 
 def test_short_beats_reference_base_rle_on_runny_corpora():
