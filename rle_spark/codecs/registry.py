@@ -60,6 +60,7 @@ from .short import (
     short_sym_decode_bytes,
     short_sym_encode_bytes,
 )
+from .sh import sh_decode_bytes, sh_encode_bytes
 from .single import single_decode_symbols, single_encode_symbols
 
 TOKEN_DTYPE = np.dtype("<i4")
@@ -469,6 +470,21 @@ _register(34, "rle32_3sl_byte_short_greedy", _short32_greedy_encode,
 # grammar running natively on token runs
 _register(35, "rle32_3sl_short", _short_sym_encode(4),
           _short_sym_decode(4), lambda st: None)
+
+
+def _sh_encode(arr):
+    return sh_encode_bytes(tokens_to_bytes(_as_tokens(arr)))
+
+
+def _sh_decode(buf, n):
+    img = sh_decode_bytes(buf)[: n * 4]
+    return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+
+
+# F11: the reference's ratio-over-speed outlier (bit-level prefix-coded
+# command stream, /root/reference/src/rle_sh.c) — per-byte python in
+# literal regions, trialed only at effort="max", declines huge blocks
+_register(38, "rle8_sh", _sh_encode, _sh_decode, lambda st: None)
 _register(36, "rle16_3sl_short", _short_sym_encode(2),
           _short_sym_decode(2), lambda st: None)
 _register(37, "rle64_3sl_short", _short_sym_encode(8),
@@ -491,7 +507,8 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "rle48_sym",
                      "rle8_1sl_short", "rle8_3sl_short", "rle8_7sl_short",
                      "rle16_3sl_short", "rle32_3sl_short",
-                     "rle64_3sl_short", "rle32_3sl_byte_short_greedy"]
+                     "rle64_3sl_short", "rle32_3sl_byte_short_greedy",
+                     "rle8_sh"]
 
 
 def encode_with(name: str, tokens: np.ndarray) -> Optional[bytes]:

@@ -48,8 +48,9 @@ def test_roundtrip_fuzz(name, seed):
     arr = fuzz_tokens(seed)
     if name.startswith("mtf") and len(arr) > 300_000:
         arr = arr[:300_000]  # MTF is O(256n); keep the suite fast
-    if "sl_short" in name and len(arr) > 150_000:
-        arr = arr[:150_000]  # per-command emission; ratio tier
+    if (("sl_short" in name or name == "rle8_sh")
+            and len(arr) > 150_000):
+        arr = arr[:150_000]  # per-command/per-byte emission; ratio tier
     _roundtrip(name, arr)
 
 
@@ -427,6 +428,47 @@ def test_short_sym_stream_matches_ref_model(sc, sym_bytes):
             np.ascontiguousarray(img, np.uint8))
         assert len(buf) == ref_short_size_exact(img, sc,
                                                 sym_bytes=sym_bytes)
+
+
+# --- F11: rle8_sh (bit-level prefix-coded command stream) ------------------
+
+
+def test_rle8_sh_roundtrip_boundaries():
+    """Exact count-offset boundaries of every rle8_sh block command
+    (copy 7/262, rle 14/269, encoded-copy 161) plus empty input and
+    the init-symbol collisions (0x7F is the initial last-RLE symbol)."""
+    from rle_spark.codecs.sh import sh_decode_bytes, sh_encode_bytes
+    rng = np.random.default_rng(3)
+    cases = [np.zeros(0, np.uint8)]
+    for L in (1, 6, 7, 8, 13, 14, 15, 161, 162, 262, 263, 269, 270, 423):
+        cases.append(rng.integers(0, 5, L).astype(np.uint8))
+        cases.append(np.full(L, 0x7F, np.uint8))
+        mixed = rng.integers(0, 256, L).astype(np.uint8)
+        mixed[:: 2] = 0x7F  # dense last-RLE bytes: encoded-copy path
+        cases.append(mixed)
+    for img in cases:
+        buf = sh_encode_bytes(img)
+        np.testing.assert_array_equal(sh_decode_bytes(buf), img)
+
+
+def test_rle8_sh_best_ratio_on_low_entropy():
+    """The reference positions rle8_sh as its best-ratio codec
+    (README.md:59): on a low-entropy corpus (80% one symbol) our
+    grammar-faithful form must beat the Low Entropy + zlib composes."""
+    from rle_spark.codecs import REGISTRY
+    rng = np.random.default_rng(5)
+    m = rng.integers(0, 256, 48_000).astype(np.uint8)
+    m[rng.random(48_000) < 0.8] = 0x41
+    arr = np.frombuffer(m.tobytes(), dtype=np.int32)
+    sh = len(REGISTRY["rle8_sh"].encode(arr))
+    for rival in ("rle8_le", "rle8_lz", "zlib_raw", "rle8"):
+        assert sh < len(REGISTRY[rival].encode(arr)), rival
+
+
+def test_rle8_sh_declines_oversized_blocks():
+    from rle_spark.codecs.sh import _MAX_BYTES, sh_encode_bytes
+    big = np.zeros(_MAX_BYTES + 1, np.uint8)
+    assert sh_encode_bytes(big) is None
 
 
 def test_short_beats_reference_base_rle_on_runny_corpora():
