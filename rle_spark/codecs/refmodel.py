@@ -180,8 +180,16 @@ def ref_short_size_exact(img: np.ndarray, sym_count: int = 7,
     if sym_bytes == 1:
         sym = img
         lut = list(_SHORT_INIT[sym_count])
-    else:
+    elif sym_bytes in (2, 4, 8):
         sym = img[: n_sym * sym_bytes].view(f"<u{sym_bytes}")
+        lut = _short_seeds_wide(sym_count, sym_bytes)
+    else:
+        # 24/48-bit (SYMBOL_MASK widths): synthesize the little-endian
+        # ints — no u3/u6 dtype (independent of short.py's helper)
+        mtx = (img[: n_sym * sym_bytes]
+               .reshape(n_sym, sym_bytes).astype(np.int64))
+        sym = mtx @ (np.int64(1) << (8 * np.arange(sym_bytes,
+                                                   dtype=np.int64)))
         lut = _short_seeds_wide(sym_count, sym_bytes)
     starts, lens = find_runs(sym)
     last_rle = 0  # bytes

@@ -489,6 +489,10 @@ _register(36, "rle16_3sl_short", _short_sym_encode(2),
           _short_sym_decode(2), lambda st: None)
 _register(37, "rle64_3sl_short", _short_sym_encode(8),
           _short_sym_decode(8), lambda st: None)
+_register(39, "rle24_3sl_short", _short_sym_encode(3),
+          _short_sym_decode(3), lambda st: None)
+_register(40, "rle48_3sl_short", _short_sym_encode(6),
+          _short_sym_decode(6), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
@@ -506,7 +510,8 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "bitmmtf8_rle", "bitmmtf16_rle", "rle24_sym",
                      "rle48_sym",
                      "rle8_1sl_short", "rle8_3sl_short", "rle8_7sl_short",
-                     "rle16_3sl_short", "rle32_3sl_short",
+                     "rle16_3sl_short", "rle24_3sl_short",
+                     "rle32_3sl_short", "rle48_3sl_short",
                      "rle64_3sl_short", "rle32_3sl_byte_short_greedy",
                      "rle8_sh"]
 

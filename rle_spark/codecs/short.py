@@ -296,7 +296,7 @@ def short_decode_bytes(buf: bytes | memoryview,
 
 
 # ---------------------------------------------------------------------------
-# F5 at widths 16/32/64, SYM-aligned: rle{16,32,64}_Xsymlut_short
+# F5 at widths 16/24/32/48/64, SYM-aligned: rle{16..64}_Xsymlut_short
 # ---------------------------------------------------------------------------
 
 # LUT seeds are the byte seeds broadcast across the symbol
@@ -310,7 +310,15 @@ def _init_lut_wide(sym_count: int, sym_bytes: int) -> list[int]:
     return [s * bc for s in _SEED_BYTES[sym_count]]
 
 
-_SYM_PACK = {2: "<H", 4: "<I", 8: "<Q"}
+def sym_int_view(img: np.ndarray, sym_bytes: int, n_sym: int) -> np.ndarray:
+    """Little-endian integers of the aligned symbol prefix. Native
+    widths are a free view; 24/48-bit (the reference's SYMBOL_MASK
+    widths, masked u32/u64 loads) synthesize the ints from the byte
+    matrix — no u3/u6 dtype exists."""
+    if sym_bytes in (2, 4, 8):
+        return img[: sym_bytes * n_sym].view(f"<u{sym_bytes}")
+    m = img[: sym_bytes * n_sym].reshape(n_sym, sym_bytes).astype(np.int64)
+    return m @ (np.int64(1) << (8 * np.arange(sym_bytes, dtype=np.int64)))
 
 
 def short_sym_encode_bytes(img: np.ndarray, sym_count: int = 3,
@@ -333,11 +341,10 @@ def short_sym_encode_bytes(img: np.ndarray, sym_count: int = 3,
         out += _terminal(b, sym_count, accepted=False, tail=img.tobytes())
         struct.pack_into("<I", out, 4, len(out))
         return bytes(out)
-    sym = img[: sym_bytes * n_sym].view(f"<u{sym_bytes}")
+    sym = sym_int_view(img, sym_bytes, n_sym)
     starts, lens = find_runs(sym)
     last_rle = 0  # byte offset
     min_long = b["min_long"]  # 3 + 4 + 4 + sym_bytes
-    sym_pack = _SYM_PACK[sym_bytes]
     stored_off = _COUNT_OFFSET - (2 // sym_bytes)
     for s, ln, v in zip(starts.tolist(), lens.tolist(),
                         sym[starts].tolist()):
@@ -359,7 +366,7 @@ def short_sym_encode_bytes(img: np.ndarray, sym_count: int = 3,
         out += cesc
         out += resc
         if miss:
-            out += struct.pack(sym_pack, v)
+            out += int(v).to_bytes(sym_bytes, "little")
             lut.insert(0, v)
             lut.pop()
         elif idx:
@@ -386,7 +393,6 @@ def short_sym_decode_bytes(buf: bytes | memoryview, sym_count: int = 3,
     run_vals: list[int] = []
     run_lens: list[int] = []               # SYMBOL counts
     cbp, rbp = b["cbp"], b["rbp"]
-    sym_pack = _SYM_PACK[sym_bytes]
     stored_off = _COUNT_OFFSET - (2 // sym_bytes)
     tail_span = (0, 0)
     while True:
@@ -423,7 +429,7 @@ def short_sym_decode_bytes(buf: bytes | memoryview, sym_count: int = 3,
             n_syms = stored - stored_off
             lit_len = rng - _RANGE_OFFSET
         if idx == sym_count:
-            v = struct.unpack_from(sym_pack, mv, pos)[0]
+            v = int.from_bytes(mv[pos:pos + sym_bytes], "little")
             pos += sym_bytes
             lut.insert(0, v)
             lut.pop()
@@ -437,31 +443,46 @@ def short_sym_decode_bytes(buf: bytes | memoryview, sym_count: int = 3,
         run_lens.append(n_syms)
     base = np.frombuffer(mv, dtype=np.uint8)
     k = len(run_vals)
-    # aligned body in symbol space (mid-stream literals are sym_bytes
-    # multiples in sym mode), one-repeat materialization; the byte tail
-    # is appended. frombuffer(offset=...) tolerates the arbitrary byte
-    # offsets the command stream leaves literals at (a .view would
-    # require alignment)
-    dt = f"<u{sym_bytes}"
-    lit_parts = [np.frombuffer(mv, dt, count=ln // sym_bytes, offset=o)
-                 for o, ln in lit_spans]
-    lits = (np.concatenate(lit_parts) if lit_parts
-            else np.zeros(0, dt))
-    values = np.empty(len(lits) + k, dtype=dt)
-    counts = np.ones(len(lits) + k, dtype=np.int64)
-    lit_cum = (np.cumsum([sp[1] // sym_bytes for sp in lit_spans])
-               if k else np.zeros(0, np.int64))
-    ins = lit_cum + np.arange(k)
-    mask = np.zeros(len(values), dtype=bool)
-    mask[ins] = True
-    values[~mask] = lits
-    # explicit dtype: a plain list assignment coerces through int64 and
-    # overflows for 64-bit symbols >= 2^63
-    values[ins] = np.array(run_vals, dtype=dt)
-    counts[ins] = run_lens
-    body = np.repeat(values, counts).view(np.uint8)
     tail = base[tail_span[0]:tail_span[0] + tail_span[1]]
-    out = np.concatenate((body, tail)) if len(tail) else body
+    if sym_bytes in (2, 4, 8):
+        # aligned body in symbol space (mid-stream literals are
+        # sym_bytes multiples in sym mode), one-repeat materialization;
+        # the byte tail is appended. frombuffer(offset=...) tolerates
+        # the arbitrary byte offsets the command stream leaves literals
+        # at (a .view would require alignment)
+        dt = f"<u{sym_bytes}"
+        lit_parts = [np.frombuffer(mv, dt, count=ln // sym_bytes,
+                                   offset=o)
+                     for o, ln in lit_spans]
+        lits = (np.concatenate(lit_parts) if lit_parts
+                else np.zeros(0, dt))
+        values = np.empty(len(lits) + k, dtype=dt)
+        counts = np.ones(len(lits) + k, dtype=np.int64)
+        lit_cum = (np.cumsum([sp[1] // sym_bytes for sp in lit_spans])
+                   if k else np.zeros(0, np.int64))
+        ins = lit_cum + np.arange(k)
+        mask = np.zeros(len(values), dtype=bool)
+        mask[ins] = True
+        values[~mask] = lits
+        # explicit dtype: a plain list assignment coerces through int64
+        # and overflows for 64-bit symbols >= 2^63
+        values[ins] = np.array(run_vals, dtype=dt)
+        counts[ins] = run_lens
+        body = np.repeat(values, counts).view(np.uint8)
+        out = np.concatenate((body, tail)) if len(tail) else body
+    else:
+        # 24/48-bit: no u3/u6 dtype — per-command byte pieces (literal
+        # slices + bytes-repeated symbols), one concatenate at the end
+        pieces = []
+        for (o, ln), v, c in zip(lit_spans, run_vals, run_lens):
+            if ln:
+                pieces.append(base[o:o + ln])
+            pieces.append(np.frombuffer(
+                int(v).to_bytes(sym_bytes, "little") * c, np.uint8))
+        if len(tail):
+            pieces.append(tail)
+        out = (np.concatenate(pieces) if pieces
+               else np.zeros(0, np.uint8))
     assert len(out) == n, f"short sym decode length {len(out)} != {n}"
     return out
 

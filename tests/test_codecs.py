@@ -398,10 +398,10 @@ def test_short_stream_size_matches_ref_model(sc):
     assert len(short_encode_bytes(r, sc)) == ref_short_size_exact(r, sc)
 
 
-@pytest.mark.parametrize("sym_bytes", [2, 4, 8])
+@pytest.mark.parametrize("sym_bytes", [2, 3, 4, 6, 8])
 @pytest.mark.parametrize("sc", [1, 3, 7])
 def test_short_sym_stream_matches_ref_model(sc, sym_bytes):
-    """Widths 16/32/64 SYM-mode short (counts stored in symbols,
+    """Widths 16/24/32/48/64 SYM-mode short (counts stored in symbols,
     rleX_Xsl_short.h:171-174): roundtrip + byte-for-byte size parity
     with refmodel's independent replay, across aligned and unaligned
     tail lengths, token-shaped images, and full-range symbols (incl.
@@ -415,12 +415,13 @@ def test_short_sym_stream_matches_ref_model(sc, sym_bytes):
     cases += [rng.integers(0, 256, L).astype(np.uint8)
               for L in (0, 1, sym_bytes - 1, sym_bytes, sym_bytes + 1,
                         17, 4097)]
-    pal = np.array([0, (1 << (8 * sym_bytes)) - 1,
-                    int(rng.integers(1, 1 << min(8 * sym_bytes - 1, 62)))],
-                   dtype=f"<u{sym_bytes}")
+    pal = [0, (1 << (8 * sym_bytes)) - 1,
+           int(rng.integers(1, 1 << min(8 * sym_bytes - 1, 62)))]
     idx = np.repeat(rng.integers(0, 3, 800), rng.integers(1, 30, 800))
-    cases.append(pal[idx].view(np.uint8))
-    cases.append(pal[idx].view(np.uint8)[:len(idx) * sym_bytes - 1])
+    raw = b"".join(pal[i].to_bytes(sym_bytes, "little")
+                   for i in idx.tolist())
+    cases.append(np.frombuffer(raw, np.uint8))
+    cases.append(np.frombuffer(raw, np.uint8)[:len(raw) - 1])
     for img in cases:
         buf = short_sym_encode_bytes(img, sc, sym_bytes)
         np.testing.assert_array_equal(
