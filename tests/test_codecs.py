@@ -348,6 +348,7 @@ def test_low_entropy_single_restricts_to_argmax_symbol():
                                    "dict_bitpack", "rle16_byte",
                                    "rle32_byte", "rle8_le_single",
                                    "rle8_3sl_short", "rle32_3sl_short",
+                                   "rle24_3sl_short", "rle8_sh",
                                    "rle32_3sl_byte_short_greedy"])
 def test_exhaustive_length_sweep(codec):
     """Iterative fuzz mode (rle_fuzz.c:159-283 analogue): EVERY small
