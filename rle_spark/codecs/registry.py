@@ -57,6 +57,8 @@ from .short import (
     short32_greedy_encode_bytes,
     short_decode_bytes,
     short_encode_bytes,
+    short_greedy_decode_bytes,
+    short_greedy_encode_bytes,
     short_sym_decode_bytes,
     short_sym_encode_bytes,
 )
@@ -457,6 +459,20 @@ def _short32_greedy_decode(buf, n):
     return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
 
 
+def _short_greedy_encode(sym_bytes):
+    def enc(arr):
+        return short_greedy_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
+                                         sym_bytes)
+    return enc
+
+
+def _short_greedy_decode(sym_bytes):
+    def dec(buf, n):
+        img = short_greedy_decode_bytes(buf, sym_bytes)[: n * 4]
+        return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+    return dec
+
+
 _register(31, "rle8_1sl_short", _short8_encode(1), _short8_decode(1),
           lambda st: None)
 _register(32, "rle8_3sl_short", _short8_encode(3), _short8_decode(3),
@@ -493,6 +509,17 @@ _register(39, "rle24_3sl_short", _short_sym_encode(3),
           _short_sym_decode(3), lambda st: None)
 _register(40, "rle48_3sl_short", _short_sym_encode(6),
           _short_sym_decode(6), lambda st: None)
+# F6 greedy at the remaining reference widths (format-complete and
+# fuzz-covered; only the width-32 form rides the max-effort trial tier
+# — five greedy trials per block would dominate effort="max" walls)
+_register(41, "rle16_3sl_byte_short_greedy", _short_greedy_encode(2),
+          _short_greedy_decode(2), lambda st: None)
+_register(42, "rle24_3sl_byte_short_greedy", _short_greedy_encode(3),
+          _short_greedy_decode(3), lambda st: None)
+_register(43, "rle48_3sl_byte_short_greedy", _short_greedy_encode(6),
+          _short_greedy_decode(6), lambda st: None)
+_register(44, "rle64_3sl_byte_short_greedy", _short_greedy_encode(8),
+          _short_greedy_decode(8), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 

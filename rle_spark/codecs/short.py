@@ -497,23 +497,24 @@ def short32_decode_bytes(buf: bytes | memoryview,
 
 
 # ---------------------------------------------------------------------------
-# F6: width-32 byte-mode greedy (partial-symbol runs + LUT restart)
+# F6: byte-mode greedy at widths 16/24/32/48/64 (partial-symbol runs +
+# LUT restart)
 # ---------------------------------------------------------------------------
 
 _W32_SC = 3
 _W32_INIT = [0x00000000, 0x7F7F7F7F, 0xFFFFFFFF]
 
 
-def _word_at(img: np.ndarray, p: int) -> int:
-    return int.from_bytes(img[p:p + 4].tobytes(), "little")
+def _word_at(img: np.ndarray, p: int, sym_bytes: int = 4) -> int:
+    return int.from_bytes(img[p:p + sym_bytes].tobytes(), "little")
 
 
-def _prefix_len(a: int, b_: int) -> int:
-    """Matching little-endian prefix bytes of two 32-bit words
+def _prefix_len(a: int, b_: int, sym_bytes: int = 4) -> int:
+    """Matching little-endian prefix bytes of two symbol words
     (ctz(xor)/8, rleX_extreme_cpu_encode.h:127-137)."""
     d = a ^ b_
     if d == 0:
-        return 4
+        return sym_bytes
     return ((d & -d).bit_length() - 1) // 8
 
 
@@ -542,37 +543,41 @@ class _MatchIndex:
         return p if p < limit else limit
 
 
-def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
-    """Width-32 3symlut byte-mode SHORT encode with the reference's
-    greedy scan: self-runs need two full words, extend through the
-    partial trailing symbol (ctz), and runs may restart from a LUT
-    symbol on a >=2-byte prefix match — partial LUT runs are emitted
-    immediately (rleX_Xsl_short.h:858-983)."""
+def short_greedy_encode_bytes(img: np.ndarray,
+                              sym_bytes: int = 4) -> bytes:
+    """3symlut byte-mode SHORT encode with the reference's greedy scan
+    at widths 16/24/32/48/64: self-runs need two full symbols, extend
+    through the partial trailing symbol (ctz), and runs may restart
+    from a LUT symbol on a >=2-byte prefix match — partial LUT runs
+    are emitted immediately (rleX_Xsl_short.h:858-983)."""
+    S = sym_bytes
     img = np.ascontiguousarray(img, dtype=np.uint8)
     n = len(img)
-    b = _budgets(_W32_SC, 4)
+    b = _budgets(_W32_SC, S)
     out = bytearray(struct.pack("<II", n, 0))
-    lut = list(_W32_INIT)
+    lut = _init_lut_wide(_W32_SC, S)
     if n == 0:
         out += _terminal(b, _W32_SC, accepted=False, tail=b"")
         struct.pack_into("<I", out, 4, len(out))
         return bytes(out)
     # periodicity mask + event indices (vectorized once)
-    if n > 4:
-        eq4 = img[4:] == img[:-4]
+    if n > S:
+        eqS = img[S:] == img[:-S]
     else:
-        eq4 = np.zeros(0, dtype=bool)
-    if len(eq4) >= 4:
-        w4 = eq4[:-3] & eq4[1:-2] & eq4[2:-1] & eq4[3:]
-        self_pos = np.flatnonzero(w4).tolist()
+        eqS = np.zeros(0, dtype=bool)
+    if len(eqS) >= S:
+        wS = eqS[: len(eqS) - S + 1].copy()
+        for o in range(1, S):
+            wS &= eqS[o: len(eqS) - S + 1 + o]
+        self_pos = np.flatnonzero(wS).tolist()
     else:
         self_pos = []
-    false_pos = np.flatnonzero(~eq4).tolist()
+    false_pos = np.flatnonzero(~eqS).tolist()
     midx = _MatchIndex(img)
     last_rle = 0
     i = 0
     min_long = b["min_long"]
-    limit = n - 4  # last position where a 4-byte word fits (<= limit)
+    limit = n - S  # last position where a full symbol fits (<= limit)
 
     def accept_emit(sym: int, count: int, run_start: int) -> bool:
         nonlocal last_rle
@@ -584,7 +589,7 @@ def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
             idx = _W32_SC
             miss = True
         if not (count >= min_long
-                or count >= 2 + _penalty(b, miss, 4, count, rng)):
+                or count >= 2 + _penalty(b, miss, S, count, rng)):
             return False
         cmd, cesc, resc = _cmd_parts(b, idx, _W32_SC, count, rng)
         out_local = out
@@ -592,7 +597,7 @@ def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
         out_local += cesc
         out_local += resc
         if miss:
-            out_local += sym.to_bytes(4, "little")
+            out_local += sym.to_bytes(S, "little")
             lut.insert(0, sym)
             lut.pop()
         elif idx:
@@ -611,22 +616,22 @@ def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
         if p > limit:
             break
         if p == p_self:
-            # self run: periodic region [p, f+4), f = first eq4 False
+            # self run: periodic region [p, f+S), f = first eqS False
             jf = bisect.bisect_left(false_pos, p)
-            f = false_pos[jf] if jf < len(false_pos) else len(eq4)
-            count = f + 4 - p
-            sym = _word_at(img, p)
+            f = false_pos[jf] if jf < len(false_pos) else len(eqS)
+            count = f + S - p
+            sym = _word_at(img, p, S)
             accept_emit(sym, count, p)
             i = p + count
         else:
             # LUT restart at p: first exact match wins, else longest
             # strict-max prefix (rleX_Xsl_short.h:899-948)
-            w = _word_at(img, p)
+            w = _word_at(img, p, S)
             best_len, best_idx = 0, 0
             for jj, s in enumerate(lut):
-                pl = _prefix_len(w, s)
-                if pl == 4:
-                    best_len, best_idx = 4, jj
+                pl = _prefix_len(w, s, S)
+                if pl == S:
+                    best_len, best_idx = S, jj
                     break
                 if pl > best_len:
                     best_len, best_idx = pl, jj
@@ -634,15 +639,15 @@ def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
                 i = p + 1
                 continue
             sym = lut[best_idx]
-            if best_len < 4:
+            if best_len < S:
                 count = best_len
                 accept_emit(sym, count, p)
                 i = p + count
             else:
-                # full match: extend while words repeat + partial tail
-                pat = np.frombuffer(sym.to_bytes(4, "little"), np.uint8)
-                e = p + 4
-                while e < n and img[e] == pat[(e - p) & 3]:
+                # full match: extend while symbols repeat + partial tail
+                pat = np.frombuffer(sym.to_bytes(S, "little"), np.uint8)
+                e = p + S
+                while e < n and img[e] == pat[(e - p) % S]:
                     e += 1
                 count = e - p
                 accept_emit(sym, count, p)
@@ -653,14 +658,20 @@ def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def short32_greedy_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
-    """Decode the width-32 byte-mode greedy stream: commands replay the
-    same MTF LUT; `count` bytes are a pattern fill of the 4-byte symbol
+def short32_greedy_encode_bytes(img: np.ndarray) -> bytes:
+    return short_greedy_encode_bytes(img, 4)
+
+
+def short_greedy_decode_bytes(buf: bytes | memoryview,
+                              sym_bytes: int = 4) -> np.ndarray:
+    """Decode a byte-mode greedy stream: commands replay the same MTF
+    LUT; `count` bytes are a pattern fill of the sym_bytes-wide symbol
     (partial trailing symbol = truncation)."""
+    S = sym_bytes
     mv = memoryview(buf)
     n = struct.unpack_from("<I", mv, 0)[0]
-    b = _budgets(_W32_SC, 4)
-    lut = list(_W32_INIT)
+    b = _budgets(_W32_SC, S)
+    lut = _init_lut_wide(_W32_SC, S)
     pos = 8
     cbp, rbp = b["cbp"], b["rbp"]
     range_bits, invalid = b["range_bits"], b["invalid"]
@@ -703,8 +714,8 @@ def short32_greedy_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
             count = stored
             lit_len = rng - _RANGE_OFFSET
         if idx == _W32_SC:
-            sym = int.from_bytes(mv[pos:pos + 4], "little")
-            pos += 4
+            sym = int.from_bytes(mv[pos:pos + S], "little")
+            pos += S
             lut.insert(0, sym)
             lut.pop()
         else:
@@ -714,9 +725,13 @@ def short32_greedy_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
         out[w:w + lit_len] = base[pos:pos + lit_len]
         pos += lit_len
         w += lit_len
-        pat = np.frombuffer(sym.to_bytes(4, "little"), np.uint8)
-        reps = count // 4 + 1
+        pat = np.frombuffer(sym.to_bytes(S, "little"), np.uint8)
+        reps = count // S + 1
         out[w:w + count] = np.tile(pat, reps)[:count]
         w += count
-    assert w == n, f"short32 decode length {w} != {n}"
+    assert w == n, f"short greedy decode length {w} != {n}"
     return out
+
+
+def short32_greedy_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
+    return short_greedy_decode_bytes(buf, 4)

@@ -432,6 +432,35 @@ def test_short_sym_stream_matches_ref_model(sc, sym_bytes):
                                                 sym_bytes=sym_bytes)
 
 
+@pytest.mark.parametrize("sym_bytes", [2, 3, 6, 8])
+def test_greedy_widths_roundtrip_and_compress(sym_bytes):
+    """F6 greedy at the non-32 reference widths: roundtrip across
+    token-shaped, random, and unaligned-tail inputs, and the
+    partial-symbol tier actually compresses S-byte pixel-art where
+    whole-symbol byte RLE sees no runs."""
+    from rle_spark.codecs.short import (short_greedy_decode_bytes,
+                                        short_greedy_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(40 + sym_bytes)
+    cases = [fuzz_tokens(s, vocab=25).view(np.uint8)[:60_000]
+             for s in range(4)]
+    cases += [rng.integers(0, 256, L).astype(np.uint8)
+              for L in (0, 1, sym_bytes, sym_bytes + 1, 999)]
+    pal = [int(rng.integers(0, 1 << min(8 * sym_bytes, 62)))
+           for _ in range(4)]
+    idx = np.repeat(rng.integers(0, 4, 1500), rng.integers(1, 40, 1500))
+    art = np.frombuffer(b"".join(pal[i].to_bytes(sym_bytes, "little")
+                                 for i in idx.tolist()), np.uint8)
+    cases.append(art)
+    cases.append(art[: len(art) - 1])
+    for img in cases:
+        buf = short_greedy_encode_bytes(img, sym_bytes)
+        np.testing.assert_array_equal(
+            short_greedy_decode_bytes(buf, sym_bytes), img)
+    assert (len(short_greedy_encode_bytes(art, sym_bytes))
+            / max(len(art), 1)) < 0.2
+
+
 # --- F11: rle8_sh (bit-level prefix-coded command stream) ------------------
 
 
