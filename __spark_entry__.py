@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unaligned4_run_histogram": Q.q_unaligned4_run_histogram,
         "width8_run_histogram": Q.q_width8_run_histogram,
         "unaligned8_run_histogram": Q.q_unaligned8_run_histogram,
+        "width16_run_histogram": Q.q_width16_run_histogram,
+        "unaligned16_run_histogram": Q.q_unaligned16_run_histogram,
         "lru_recurrence": Q.q_lru_recurrence,
         "ref_rle8_size": Q.q_ref_rle8_size,
         "column_codec_stats": Q.q_column_codec_stats,
@@ -252,7 +254,7 @@ def oracle_sql() -> dict[str, str]:
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
 
-    for _w in (2, 4, 8):
+    for _w in (2, 4, 8, 16):
         sql[f"width{_w}_run_histogram"] = _width_hist_sql(_w)
         sql[f"unaligned{_w}_run_histogram"] = _unaligned_hist_sql(_w)
 

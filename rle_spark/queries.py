@@ -102,6 +102,16 @@ def q_unaligned8_run_histogram(spark, sf_dir):
                                            "l_returnflag", LINE_ORDER, 8)
 
 
+def q_width16_run_histogram(spark, sf_dir):
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 16)
+
+
+def q_unaligned16_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 16)
+
+
 def q_lru_recurrence(spark, sf_dir):
     return (analyze.lru_recurrence(_ts(spark, sf_dir, "orders"),
                                    "o_orderstatus", ["o_orderkey"])
