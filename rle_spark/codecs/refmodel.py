@@ -57,7 +57,13 @@ def ref_rle_size_exact(img: np.ndarray, sym_bytes: int = 1) -> int:
         pad = (-nbytes) % sym_bytes
         if pad:
             img = np.concatenate([img, np.zeros(pad, dtype=np.uint8)])
-        sym = img.view(np.dtype(f"<u{sym_bytes}"))
+        if sym_bytes in (2, 4, 8):
+            sym = img.view(np.dtype(f"<u{sym_bytes}"))
+        else:
+            # 24/48-bit: synthesize little-endian symbol ints (no u3/u6)
+            mtx = img.reshape(-1, sym_bytes).astype(np.int64)
+            sym = mtx @ (np.int64(1) << (8 * np.arange(sym_bytes,
+                                                       dtype=np.int64)))
     else:
         sym = img
     starts, lens = find_runs(sym)
@@ -103,7 +109,13 @@ def ref_rle_size_model_v1(img: np.ndarray, sym_bytes: int = 1) -> int:
         pad = (-nbytes) % sym_bytes
         if pad:
             img = np.concatenate([img, np.zeros(pad, dtype=np.uint8)])
-        sym = img.view(np.dtype(f"<u{sym_bytes}"))
+        if sym_bytes in (2, 4, 8):
+            sym = img.view(np.dtype(f"<u{sym_bytes}"))
+        else:
+            # 24/48-bit: synthesize little-endian symbol ints (no u3/u6)
+            mtx = img.reshape(-1, sym_bytes).astype(np.int64)
+            sym = mtx @ (np.int64(1) << (8 * np.arange(sym_bytes,
+                                                       dtype=np.int64)))
     else:
         sym = img
     starts, lens = find_runs(sym)

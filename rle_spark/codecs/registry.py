@@ -62,6 +62,7 @@ from .short import (
     short_sym_decode_bytes,
     short_sym_encode_bytes,
 )
+from .interleaved import rlex_decode_bytes, rlex_encode_bytes
 from .sh import sh_decode_bytes, sh_encode_bytes
 from .single import single_decode_symbols, single_encode_symbols
 
@@ -520,6 +521,35 @@ _register(43, "rle48_3sl_byte_short_greedy", _short_greedy_encode(6),
           _short_greedy_decode(6), lambda st: None)
 _register(44, "rle64_3sl_byte_short_greedy", _short_greedy_encode(8),
           _short_greedy_decode(8), lambda st: None)
+
+
+def _rlex_encode(sym_bytes, packed):
+    def enc(arr):
+        return rlex_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
+                                 sym_bytes, packed)
+    return enc
+
+
+def _rlex_decode(sym_bytes, packed):
+    def dec(buf, n):
+        img = rlex_decode_bytes(buf, sym_bytes, packed)[: n * 4]
+        return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
+    return dec
+
+
+# TRUE interleaved F1/F2 command streams (format fidelity: F1 byte-
+# exact vs refmodel.ref_rle_size_exact, F2 = the packed same-as-last-
+# symbol bit + 7-bit counts). Registered + fuzz-covered but OUTSIDE the
+# trial tiers: the canonical SoA formats are provably never larger
+# (tests assert engine <= ref size), so trialing these wastes walls.
+_register(45, "rle32_sym_interleaved", _rlex_encode(4, False),
+          _rlex_decode(4, False), lambda st: None)
+_register(46, "rle32_sym_packed", _rlex_encode(4, True),
+          _rlex_decode(4, True), lambda st: None)
+_register(47, "rle8_interleaved", _rlex_encode(1, False),
+          _rlex_decode(1, False), lambda st: None)
+_register(48, "rle8_packed", _rlex_encode(1, True),
+          _rlex_decode(1, True), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 

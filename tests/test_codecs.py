@@ -461,6 +461,60 @@ def test_greedy_widths_roundtrip_and_compress(sym_bytes):
             / max(len(art), 1)) < 0.2
 
 
+# --- F1/F2 TRUE interleaved command streams ---------------------------------
+
+
+@pytest.mark.parametrize("sym_bytes", [1, 2, 3, 4, 6, 8])
+def test_interleaved_f1_matches_ref_size_model(sym_bytes):
+    """The true F1 interleaved stream must be byte-for-byte the size
+    refmodel.ref_rle_size_exact predicts (on symbol-aligned inputs —
+    the model zero-pads unaligned tails where the stream keeps them as
+    literals) and roundtrip everywhere, incl. unaligned tails."""
+    from rle_spark.codecs.interleaved import (rlex_decode_bytes,
+                                              rlex_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(50 + sym_bytes)
+    cases = [fuzz_tokens(s, vocab=30).view(np.uint8) for s in range(4)]
+    cases += [rng.integers(0, 5, L).astype(np.uint8)
+              for L in (0, 1, sym_bytes, sym_bytes + 1, 999, 4096)]
+    for img in cases:
+        buf = rlex_encode_bytes(img, sym_bytes, packed=False)
+        np.testing.assert_array_equal(
+            rlex_decode_bytes(buf, sym_bytes, packed=False), img)
+        if len(img) and len(img) % sym_bytes == 0:
+            assert len(buf) == ref_rle_size_exact(img, sym_bytes)
+
+
+@pytest.mark.parametrize("sym_bytes", [1, 4])
+def test_interleaved_f2_packed_roundtrip_and_wins(sym_bytes):
+    """F2 packed: roundtrip, and the same-as-last-symbol bit + 7-bit
+    counts must beat the base form when one symbol's runs repeat
+    (its raison d'etre, src/rleX_extreme_cpu_encode.h:206-228)."""
+    from rle_spark.codecs.interleaved import (rlex_decode_bytes,
+                                              rlex_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(60 + sym_bytes)
+    cases = [fuzz_tokens(s, vocab=30).view(np.uint8) for s in range(4)]
+    cases += [rng.integers(0, 5, L).astype(np.uint8)
+              for L in (0, 1, sym_bytes + 1, 999)]
+    for img in cases:
+        buf = rlex_encode_bytes(img, sym_bytes, packed=True)
+        np.testing.assert_array_equal(
+            rlex_decode_bytes(buf, sym_bytes, packed=True), img)
+    # one symbol's runs separated by short literals: every run after
+    # the first is same-symbol -> packed omits the symbol field
+    sym = (0x42 if sym_bytes == 1
+           else 0xDEADBEEF).to_bytes(sym_bytes, "little")
+    parts = []
+    for _ in range(300):
+        parts.append(sym * 12)
+        parts.append(bytes(rng.integers(0, 256, 5).astype(np.uint8)))
+    img = np.frombuffer(b"".join(parts), np.uint8)
+    packed = len(rlex_encode_bytes(img, sym_bytes, packed=True))
+    base = len(rlex_encode_bytes(img, sym_bytes, packed=False))
+    assert packed < base
+
+
 # --- F11: rle8_sh (bit-level prefix-coded command stream) ------------------
 
 
