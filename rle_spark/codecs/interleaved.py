@@ -51,8 +51,28 @@ def _constants(sym_bytes: int, packed: bool):
                 min_long=sym_bytes + 1 + 4 + 4 + 2)
 
 
+def _unbound_runs(img: np.ndarray, S: int, min_bytes: int):
+    """Byte-aligned (UNBOUND) runs: maximal intervals where
+    img[i] == img[i-S] — runs start anywhere and may end inside a
+    partial trailing symbol (src/rleX_extreme_cpu.h:23-35). Yields
+    (byte_start, byte_count, symbol_int) with the symbol read at the
+    run start (the pattern phase anchor). Intervals shorter than
+    min_bytes are prefiltered VECTORIZED — noisy data otherwise
+    produces millions of never-emittable two-byte intervals that the
+    per-run Python loop would walk."""
+    n = len(img)
+    if n <= S:
+        return
+    m = img[S:] == img[:-S]
+    starts, lens = find_runs(m)
+    good = m[starts] & (lens + S >= min_bytes)
+    for s, ln in zip(starts[good].tolist(), lens[good].tolist()):
+        yield s, ln + S, int.from_bytes(img[s:s + S].tobytes(), "little")
+
+
 def rlex_encode_bytes(img: np.ndarray, sym_bytes: int = 4,
-                      packed: bool = False) -> bytes:
+                      packed: bool = False,
+                      unbound: bool = False) -> bytes:
     S = sym_bytes
     img = np.ascontiguousarray(img, dtype=np.uint8)
     n = len(img)
@@ -61,52 +81,72 @@ def rlex_encode_bytes(img: np.ndarray, sym_bytes: int = 4,
     last_rle = 0
     last_symbol = 0  # packed state init (encode.h:43)
     n_sym = n // S
-    if n_sym:
+    if unbound:
+        # UNBOUND: byte counts, runs start anywhere
+        # (storedCount = count - MIN_SHORT + 1, encode.h:192-196)
+        run_iter = _unbound_runs(img, S, c["min_short"])
+        stored_off = 1 - c["min_short"]
+    elif n_sym:
         sym = sym_int_view(img, S, n_sym)
         starts, lens = find_runs(sym)
         stored_off = 1 - c["min_short"] // S
-        for s, ln, v in zip(starts.tolist(), lens.tolist(),
-                            sym[starts].tolist()):
-            sb, cb = S * s, S * ln
-            rng = sb - last_rle + 1
-            same = packed and v == last_symbol
-            if rng <= c["max_range"] and (
-                    cb >= (c["min_short"] if (same or not packed)
-                           else c["min_medium"])):
-                long_form = False
-            elif cb >= c["min_long"]:
-                long_form = True
-            else:
+        run_iter = ((S * s, S * ln, v) for s, ln, v in
+                    zip(starts.tolist(), lens.tolist(),
+                        sym[starts].tolist()))
+    else:
+        run_iter = iter(())
+        stored_off = 0
+    for sb, cb, v in run_iter:
+        if unbound and sb < last_rle:
+            # adjacent stride intervals overlap by up to S-1 bytes (one
+            # false stride position separates the m-runs but not the
+            # byte spans); re-anchor the survivor at last_rle — the
+            # periodicity still holds, only the pattern phase moves
+            if sb + cb <= last_rle:
                 continue
-            stored = ln + stored_off
-            if packed:
-                mask = 0x80 if same else 0
-                last_symbol = v
-                if stored <= 0x7F:
-                    out.append(stored | mask)
-                else:
-                    out.append(mask)
-                    out += struct.pack("<I", stored)
-                if not same:
-                    out += int(v).to_bytes(S, "little")
-                if long_form:
-                    out += struct.pack("<I", (rng << 1) | 1)
-                else:
-                    out.append((rng << 1) & 0xFF)
+            cb -= last_rle - sb
+            sb = last_rle
+            v = int.from_bytes(img[sb:sb + S].tobytes(), "little")
+        ln = cb if unbound else cb // S
+        rng = sb - last_rle + 1
+        same = packed and v == last_symbol
+        if rng <= c["max_range"] and (
+                cb >= (c["min_short"] if (same or not packed)
+                       else c["min_medium"])):
+            long_form = False
+        elif cb >= c["min_long"]:
+            long_form = True
+        else:
+            continue
+        stored = ln + stored_off
+        if packed:
+            mask = 0x80 if same else 0
+            last_symbol = v
+            if stored <= 0x7F:
+                out.append(stored | mask)
             else:
+                out.append(mask)
+                out += struct.pack("<I", stored)
+            if not same:
                 out += int(v).to_bytes(S, "little")
-                if stored <= 255:
-                    out.append(stored)
-                else:
-                    out.append(0)
-                    out += struct.pack("<I", stored)
-                if long_form:
-                    out.append(0)
-                    out += struct.pack("<I", rng)
-                else:
-                    out.append(rng)
-            out += img[last_rle:sb].tobytes()
-            last_rle = sb + cb
+            if long_form:
+                out += struct.pack("<I", (rng << 1) | 1)
+            else:
+                out.append((rng << 1) & 0xFF)
+        else:
+            out += int(v).to_bytes(S, "little")
+            if stored <= 255:
+                out.append(stored)
+            else:
+                out.append(0)
+                out += struct.pack("<I", stored)
+            if long_form:
+                out.append(0)
+                out += struct.pack("<I", rng)
+            else:
+                out.append(rng)
+        out += img[last_rle:sb].tobytes()
+        last_rle = sb + cb
     # terminator (encode.h:455-601): zero count, range carries the tail
     tail = n - last_rle
     if packed:
@@ -125,15 +165,18 @@ def rlex_encode_bytes(img: np.ndarray, sym_bytes: int = 4,
 
 
 def rlex_decode_bytes(buf: bytes | memoryview, sym_bytes: int = 4,
-                      packed: bool = False) -> np.ndarray:
+                      packed: bool = False,
+                      unbound: bool = False) -> np.ndarray:
     """Copy-then-memset replay (decode.h:27-164): per command, copy
     range-1 literal bytes, then fill the run; storedCount 0 after the
-    copy (or a zero range) terminates."""
+    copy (or a zero range) terminates. UNBOUND counts are bytes and
+    the symbol pattern truncates mid-symbol (decode.h:131-135)."""
     S = sym_bytes
     mv = memoryview(buf)
     n = struct.unpack_from("<I", mv, 0)[0]
     c = _constants(S, packed)
-    add_back = c["min_short"] // S - 1
+    add_back = (c["min_short"] - 1 if unbound
+                else c["min_short"] // S - 1)
     base = np.frombuffer(mv, dtype=np.uint8)
     pos = 8
     pieces = []
@@ -183,9 +226,9 @@ def rlex_decode_bytes(buf: bytes | memoryview, sym_bytes: int = 4,
             pos += lit
         if stored == 0:  # terminator after its tail copy
             break
-        cb = (stored + add_back) * S
-        pieces.append(np.frombuffer(
-            int(v).to_bytes(S, "little") * (cb // S), np.uint8))
+        cb = (stored + add_back) * (1 if unbound else S)
+        pat = int(v).to_bytes(S, "little") * (cb // S + 1)
+        pieces.append(np.frombuffer(pat[:cb], np.uint8))
     out = (np.concatenate(pieces) if pieces else np.zeros(0, np.uint8))
     assert len(out) == n, f"rlex decode length {len(out)} != {n}"
     return out

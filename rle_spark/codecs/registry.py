@@ -523,16 +523,17 @@ _register(44, "rle64_3sl_byte_short_greedy", _short_greedy_encode(8),
           _short_greedy_decode(8), lambda st: None)
 
 
-def _rlex_encode(sym_bytes, packed):
+def _rlex_encode(sym_bytes, packed, unbound=False):
     def enc(arr):
         return rlex_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
-                                 sym_bytes, packed)
+                                 sym_bytes, packed, unbound)
     return enc
 
 
-def _rlex_decode(sym_bytes, packed):
+def _rlex_decode(sym_bytes, packed, unbound=False):
     def dec(buf, n):
-        img = rlex_decode_bytes(buf, sym_bytes, packed)[: n * 4]
+        img = rlex_decode_bytes(buf, sym_bytes, packed,
+                                unbound)[: n * 4]
         return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
     return dec
 
@@ -550,6 +551,12 @@ _register(47, "rle8_interleaved", _rlex_encode(1, False),
           _rlex_decode(1, False), lambda st: None)
 _register(48, "rle8_packed", _rlex_encode(1, True),
           _rlex_decode(1, True), lambda st: None)
+# UNBOUND (byte-aligned) true streams: byte counts, runs start
+# anywhere and may end inside a partial trailing symbol
+_register(49, "rle32_byte_interleaved", _rlex_encode(4, False, True),
+          _rlex_decode(4, False, True), lambda st: None)
+_register(50, "rle32_byte_packed", _rlex_encode(4, True, True),
+          _rlex_decode(4, True, True), lambda st: None)
 
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 

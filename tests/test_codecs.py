@@ -485,6 +485,39 @@ def test_interleaved_f1_matches_ref_size_model(sym_bytes):
             assert len(buf) == ref_rle_size_exact(img, sym_bytes)
 
 
+@pytest.mark.parametrize("sym_bytes", [1, 2, 4, 8])
+def test_interleaved_unbound_roundtrip_and_wins_on_misaligned(sym_bytes):
+    """UNBOUND (byte-aligned) interleaved streams: roundtrip for base
+    and packed — including the overlapping-adjacent-intervals shape
+    (one false stride position separates the m-runs but not the byte
+    spans) — and the byte-aligned form must beat the sym-aligned one on
+    runny data offset by one byte (its raison d'etre)."""
+    from rle_spark.codecs.interleaved import (rlex_decode_bytes,
+                                              rlex_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(70 + sym_bytes)
+    cases = [fuzz_tokens(s, vocab=30).view(np.uint8)[:100_000]
+             for s in range(3)]
+    cases += [rng.integers(0, 5, L).astype(np.uint8)
+              for L in (0, 1, sym_bytes + 1, 999)]
+    pal = [0, (1 << (8 * sym_bytes)) - 1, 0x3C]
+    idx = np.repeat(rng.integers(0, 3, 700), rng.integers(1, 50, 700))
+    raw = b"".join(pal[i].to_bytes(sym_bytes, "little")
+                   for i in idx.tolist())
+    mis = np.frombuffer(b"\x5a" + raw, np.uint8)
+    cases.append(mis)
+    for img in cases:
+        for packed in (False, True):
+            buf = rlex_encode_bytes(img, sym_bytes, packed, unbound=True)
+            np.testing.assert_array_equal(
+                rlex_decode_bytes(buf, sym_bytes, packed, unbound=True),
+                img)
+    if sym_bytes > 1:
+        ub = len(rlex_encode_bytes(mis, sym_bytes, False, unbound=True))
+        sb = len(rlex_encode_bytes(mis, sym_bytes, False, unbound=False))
+        assert ub < sb
+
+
 @pytest.mark.parametrize("sym_bytes", [1, 4])
 def test_interleaved_f2_packed_roundtrip_and_wins(sym_bytes):
     """F2 packed: roundtrip, and the same-as-last-symbol bit + 7-bit
