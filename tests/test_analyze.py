@@ -386,3 +386,75 @@ def test_column_codec_stats_memo(spark, tmp_path):
                                         ["pos"]).collect()}
     assert fresh["pos"] == len(pdf) // 2
     analyze.clear_run_cache()
+
+
+def test_fast_path_nested_field_before_order_key(spark, tmp_path):
+    """A struct column preceding the order key shifts leaf (DFS) footer
+    indices away from arrow field order; the planner must still read
+    min/max from the order key's own leaf (located by path_in_schema),
+    so the fast path stays engaged AND correct."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = _mk_pdf()
+    n = len(pdf)
+    rng = np.random.default_rng(5)
+    # meta.b is deliberately random: if the planner mistakenly read
+    # leaf index 1 (= meta.b) it would see overlapping ranges and
+    # silently fall back — or worse, 'prove' clustering on wrong data
+    meta = pa.StructArray.from_arrays(
+        [pa.array(np.zeros(n, dtype=np.int64)),
+         pa.array(rng.integers(0, 10, n))], names=["a", "b"])
+    t = pa.table({"meta": meta, "pos": pa.array(pdf["pos"]),
+                  "ch": pa.array(pdf["ch"])})
+    p = str(tmp_path / "nested.parquet")
+    pq.write_table(t, p, row_group_size=500)
+    src = analyze.ParquetSource(spark, p)
+    units = analyze._plan_sorted_units(src, "pos")
+    assert units is not None and len(units) == (n + 499) // 500
+    fast = analyze._ranged_parquet(src, ["ch"], ["pos"])
+    assert fast is not None
+    got = analyze.run_stats(src, "ch", ["pos"]).collect()[0]
+    want = analyze.run_stats(spark.read.parquet(p), "ch",
+                             ["pos"]).collect()[0]
+    assert got.asDict() == want.asDict()
+    analyze.clear_run_cache()
+
+
+def test_fast_path_cross_task_boundary_guard(spark, tmp_path,
+                                             monkeypatch):
+    """With one unit per task (n_units <= defaultParallelism) every
+    unit boundary is a task boundary: the shipped predecessor planned
+    max must still catch a lying footer."""
+    pdf = _mk_pdf()
+    p = _write_pq(tmp_path, pdf, "lie2.parquet", 1000)
+    src = analyze.ParquetSource(spark, p)
+    real = analyze._plan_sorted_units(src, "pos")
+    assert real is not None
+    assert 4 <= len(real) <= spark.sparkContext.defaultParallelism
+    # claim unit 1 covers a range ABOVE unit 2 (swap plan positions but
+    # keep each unit's shipped pmax consistent with the lying plan)
+    lied = list(real)
+    (f1, g1, _), (f2, g2, _) = lied[1], lied[2]
+    lied[1] = (f2, g2, lied[1][2])
+    lied[2] = (f1, g1, lied[2][2])
+    monkeypatch.setattr(analyze, "_plan_sorted_units",
+                        lambda *_a, **_k: lied)
+    fast = analyze._ranged_parquet(src, ["ch"], ["pos"])
+    assert fast is not None
+    with pytest.raises(Exception, match="overlaps its predecessor"):
+        fast.count()
+
+
+def test_column_codec_stats_nullable_int(spark):
+    """A nullable int column arrives in the kernel as float64 + NaN;
+    nulls must be ignored (Spark min/max semantics), not crash int()."""
+    rows = [(i, None if i % 7 == 3 else (i % 5) + 10)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "pos long, v long").repartition(4)
+    got = {r.col_name: r for r in
+           analyze.column_codec_stats(df, ["v"], ["pos"]).collect()}
+    vals = np.array([v for _, v in rows if v is not None])
+    assert got["v"].vmin == int(vals.min())
+    assert got["v"].vmax == int(vals.max())
+    assert got["v"].n_distinct == len(np.unique(vals))
+    analyze.clear_run_cache()

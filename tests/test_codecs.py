@@ -391,9 +391,6 @@ def test_short_stream_size_matches_ref_model(sc):
         assert len(short_encode_bytes(img, sc)) == ref_short_size_exact(
             img, sc)
     rng = np.random.default_rng(7)
-    assert len(short_encode_bytes(rng.integers(0, 256, 9000, dtype=np.uint8),
-                                  sc)) == ref_short_size_exact(
-        rng.integers(0, 256, 9000, dtype=np.uint8), sc) or True
     # deterministic random case (same array both sides)
     r = rng.integers(0, 256, 9000, dtype=np.uint8)
     assert len(short_encode_bytes(r, sc)) == ref_short_size_exact(r, sc)
