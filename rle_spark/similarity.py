@@ -16,6 +16,37 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
+def _metadata_row_count(df: DataFrame) -> int | None:
+    """O(1) exact row count from parquet footers, engaged only when the
+    analyzed plan provably preserves the scan's row count (nothing but
+    row-preserving nodes — Project / aliases — above a parquet
+    relation). Returns None otherwise so callers fall back to
+    df.count(). At 100 TB this turns the auto-grid sizing scan (a full
+    read of the embedding column) into a footer-metadata walk, the same
+    count the duckdb oracle uses."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        nodes = [ln.lstrip(" :+-").split(" ", 1)[0]
+                 for ln in plan.splitlines() if ln.strip()]
+        if not nodes or not all(
+                n in ("Project", "SubqueryAlias", "View", "Relation")
+                for n in nodes):
+            return None
+        if "Relation" not in nodes:
+            return None
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(
+                f.removeprefix("file:")).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
@@ -200,7 +231,10 @@ def cosine_near_dup(emb: DataFrame, min_pct: int = NEAR_DUP_MIN_PCT,
     sets (seed, seed+1, ...) and dedups pairs — the standard recall
     lever for high-plane-count grids."""
     if n_planes is None:
-        n_planes = auto_n_planes(emb.count(), auto_target_bucket,
+        n_rows = _metadata_row_count(emb)
+        if n_rows is None:
+            n_rows = emb.count()
+        n_planes = auto_n_planes(n_rows, auto_target_bucket,
                                  auto_min_planes)
     tables = [_near_dup_pairs_one_table(emb, min_pct, n_planes, seed + t,
                                         dim, vec_col, id_col)

@@ -133,3 +133,20 @@ def test_shipped_auto_near_dup_grid_varies_with_corpus():
     a2000 = S.auto_n_planes(2000, AUTO_ND_TARGET_BUCKET, AUTO_ND_MIN_PLANES)
     assert a500 == 5 and a500 != S.NEAR_DUP_PLANES
     assert a2000 == 7 and a2000 > a500
+
+
+def test_metadata_row_count_engages_and_declines(spark, tmp_path):
+    """The auto-grid sizing count must come from parquet footers (O(1))
+    for plain scans/projections, and decline to None for any plan that
+    could change the row count."""
+    import pandas as pd
+    p = str(tmp_path / "e.parquet")
+    pd.DataFrame({"vec_id": [f"v{i}" for i in range(257)],
+                  "x": range(257)}).to_parquet(p)
+    df = spark.read.parquet(p)
+    assert S._metadata_row_count(df) == 257
+    assert S._metadata_row_count(df.select("vec_id")) == 257
+    assert S._metadata_row_count(df.filter("x > 3")) is None
+    assert S._metadata_row_count(df.limit(5)) is None
+    assert S._metadata_row_count(
+        spark.createDataFrame([(1,)], "a int")) is None
