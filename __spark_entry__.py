@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length_histogram": Q.q_run_length_histogram,
         "width2_run_histogram": Q.q_width2_run_histogram,
         "unaligned2_run_histogram": Q.q_unaligned2_run_histogram,
+        "width3_run_histogram": Q.q_width3_run_histogram,
+        "unaligned3_run_histogram": Q.q_unaligned3_run_histogram,
         "exact_run_histogram": Q.q_exact_run_histogram,
         "width4_run_histogram": Q.q_width4_run_histogram,
         "unaligned4_run_histogram": Q.q_unaligned4_run_histogram,
@@ -254,7 +256,7 @@ def oracle_sql() -> dict[str, str]:
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
 
-    for _w in (2, 4, 8, 16):
+    for _w in (2, 3, 4, 8, 16):
         sql[f"width{_w}_run_histogram"] = _width_hist_sql(_w)
         sql[f"unaligned{_w}_run_histogram"] = _unaligned_hist_sql(_w)
 

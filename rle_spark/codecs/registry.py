@@ -437,16 +437,16 @@ def _short8_decode(sym_count):
     return dec
 
 
-def _short_sym_encode(sym_bytes):
+def _short_sym_encode(sym_bytes, sym_count=3):
     def enc(arr):
         return short_sym_encode_bytes(tokens_to_bytes(_as_tokens(arr)),
-                                      3, sym_bytes)
+                                      sym_count, sym_bytes)
     return enc
 
 
-def _short_sym_decode(sym_bytes):
+def _short_sym_decode(sym_bytes, sym_count=3):
     def dec(buf, n):
-        img = short_sym_decode_bytes(buf, 3, sym_bytes)[: n * 4]
+        img = short_sym_decode_bytes(buf, sym_count, sym_bytes)[: n * 4]
         return np.ascontiguousarray(img).view(TOKEN_DTYPE).copy()
     return dec
 
@@ -500,7 +500,8 @@ def _sh_decode(buf, n):
 
 # F11: the reference's ratio-over-speed outlier (bit-level prefix-coded
 # command stream, /root/reference/src/rle_sh.c) — per-byte python in
-# literal regions, trialed only at effort="max", declines huge blocks
+# literal regions, trialed only at effort="max"; huge blocks are split
+# into independent rle8m-style subsections
 _register(38, "rle8_sh", _sh_encode, _sh_decode, lambda st: None)
 _register(36, "rle16_3sl_short", _short_sym_encode(2),
           _short_sym_decode(2), lambda st: None)
@@ -558,6 +559,19 @@ _register(49, "rle32_byte_interleaved", _rlex_encode(4, False, True),
 _register(50, "rle32_byte_packed", _rlex_encode(4, True, True),
           _rlex_decode(4, True, True), lambda st: None)
 
+# F5 grid completion: 1- and 7-symbol-LUT SYM-mode short at every
+# multi-byte width — the reference registers the full {1,3,7}-LUT
+# grid (src/rleX_Xsl_short.c:7-270, src/codec_funcs.h:298-388) and its
+# best non-entropy ratios live in the 7-LUT forms (README.md:48). Same
+# grammar/budgets as ids 35-40, only the LUT depth differs; sizes stay
+# byte-identical to refmodel's replay (test_short_sym_stream_...).
+for _i, _sb in zip(range(51, 56), (2, 3, 4, 6, 8)):
+    _register(_i, f"rle{8 * _sb}_1sl_short", _short_sym_encode(_sb, 1),
+              _short_sym_decode(_sb, 1), lambda st: None)
+for _i, _sb in zip(range(56, 61), (2, 3, 4, 6, 8)):
+    _register(_i, f"rle{8 * _sb}_7sl_short", _short_sym_encode(_sb, 7),
+              _short_sym_decode(_sb, 7), lambda st: None)
+
 BY_ID: dict[int, Codec] = {c.codec_id: c for c in REGISTRY.values()}
 
 # codecs cheap enough to probe (trial-encode) when estimates are close
@@ -577,6 +591,7 @@ MAX_EFFORT_CODECS = ["mtf16_rle8", "mtf32_rle8", "zlib_raw", "rle8_lz",
                      "rle16_3sl_short", "rle24_3sl_short",
                      "rle32_3sl_short", "rle48_3sl_short",
                      "rle64_3sl_short", "rle32_3sl_byte_short_greedy",
+                     "rle32_1sl_short", "rle32_7sl_short",
                      "rle8_sh"]
 
 

@@ -28,8 +28,9 @@ SURVEY §2.1's "ratio parity, not byte-identical streams" position).
 Throughput position: per-byte Python work inside literal regions —
 this is the ratio-over-speed outlier in the reference too (an order
 of magnitude slower decode than every other family). Trialed only at
-effort="max"; the encode declines blocks above _MAX_BYTES so the
-trial stays bounded.
+effort="max"; blocks above _MAX_BYTES are split into independent
+rle8m-style subsections (F8) so the tier survives large-block
+configs.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ import struct
 
 import numpy as np
 
-from .base import find_runs
+from .base import find_runs, pack_sections, unpack_sections
 
 # prefix patterns, written LSB-first (rle_sh.c:62-86)
 _LAST_RLE = (0b0, 1)
@@ -167,12 +168,26 @@ def _flush_literals(region, out: bytearray, bw: _BitWriter,
         _flush_copy(region, out, bw, st)
 
 
-def sh_encode_bytes(img: np.ndarray) -> bytes | None:
-    """Encode a byte image; None (declined) above _MAX_BYTES."""
+def sh_encode_bytes(img: np.ndarray) -> bytes:
+    """Encode a byte image. Images above _MAX_BYTES are split into
+    independent rle8m-style subsections (F8, the reference's
+    rle8_low_entropy_cpu.c:126-191 sectioning) sharing one outer
+    header, so the ratio tier survives large-block configs instead of
+    silently declining; each section resets the 2nd/3rd cache, costing
+    ~0-2% ratio at 4 MiB sections."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     n = len(img)
     if n > _MAX_BYTES:
-        return None
+        parts = [_sh_encode_single(img[o:o + _MAX_BYTES])
+                 for o in range(0, n, _MAX_BYTES)]
+        # total==0 sentinel marks the sectioned container (a single
+        # payload's total is its own length, always >= 9)
+        return struct.pack("<II", n, 0) + pack_sections(parts)
+    return _sh_encode_single(img)
+
+
+def _sh_encode_single(img: np.ndarray) -> bytes:
+    n = len(img)
     out = bytearray(struct.pack("<II", n, 0))
     bw = _BitWriter()
     st = _ShState()
@@ -226,6 +241,18 @@ class _BitReader:
 
 def sh_decode_bytes(buf: bytes | memoryview) -> np.ndarray:
     mv = memoryview(buf)
+    n, total = struct.unpack_from("<II", mv, 0)
+    if total == 0:  # sectioned container (see sh_encode_bytes)
+        parts = unpack_sections(mv[8:])
+        out = np.concatenate([_sh_decode_single(p) for p in parts]) \
+            if parts else np.zeros(0, np.uint8)
+        if len(out) != n:
+            raise ValueError("rle8_sh: sectioned payload length mismatch")
+        return out
+    return _sh_decode_single(mv)
+
+
+def _sh_decode_single(mv: memoryview) -> np.ndarray:
     n, total = struct.unpack_from("<II", mv, 0)
     out = bytearray()
     br = _BitReader(mv, total - 1)

@@ -77,6 +77,20 @@ def q_unaligned2_run_histogram(spark, sf_dir):
                                            "l_returnflag", LINE_ORDER, 2)
 
 
+def q_width3_run_histogram(spark, sf_dir):
+    """Non-power-of-two width: symbol boundaries do NOT divide byte
+    groups evenly, so the alignment math (partial trailing symbol,
+    per-task phase offsets) differs from every 2^k width — the
+    reference sweeps 16 widths incl. 3/5/6/7 (src/main.c:1246-2257)."""
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 3)
+
+
+def q_unaligned3_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 3)
+
+
 def q_exact_run_histogram(spark, sf_dir):
     return analyze.exact_run_length_histogram(
         _ts(spark, sf_dir, "lineitem"), "l_returnflag", LINE_ORDER)

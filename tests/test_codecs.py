@@ -349,7 +349,14 @@ def test_low_entropy_single_restricts_to_argmax_symbol():
                                    "rle32_byte", "rle8_le_single",
                                    "rle8_3sl_short", "rle32_3sl_short",
                                    "rle24_3sl_short", "rle8_sh",
-                                   "rle32_3sl_byte_short_greedy"])
+                                   "rle32_3sl_byte_short_greedy",
+                                   "rle32_1sl_short", "rle32_7sl_short",
+                                   "rle16_7sl_short", "rle48_7sl_short",
+                                   "rle32_sym_interleaved",
+                                   "rle32_sym_packed",
+                                   "rle8_interleaved", "rle8_packed",
+                                   "rle32_byte_interleaved",
+                                   "rle32_byte_packed"])
 def test_exhaustive_length_sweep(codec):
     """Iterative fuzz mode (rle_fuzz.c:159-283 analogue): EVERY small
     section length 1..280 plus the 17/16-stepped medium regime, for
@@ -580,10 +587,26 @@ def test_rle8_sh_best_ratio_on_low_entropy():
         assert sh < len(REGISTRY[rival].encode(arr)), rival
 
 
-def test_rle8_sh_declines_oversized_blocks():
-    from rle_spark.codecs.sh import _MAX_BYTES, sh_encode_bytes
-    big = np.zeros(_MAX_BYTES + 1, np.uint8)
-    assert sh_encode_bytes(big) is None
+def test_rle8_sh_sections_oversized_blocks():
+    """Above _MAX_BYTES the encoder must section rle8m-style (F8)
+    rather than decline, so the best-ratio tier survives large-block
+    configs: roundtrip bit-identical (incl. tail scramble) at 8-16 MiB
+    and ratio within ~2% of the per-section optimum."""
+    from rle_spark.codecs.sh import _MAX_BYTES, sh_decode_bytes, \
+        sh_encode_bytes
+    rng = np.random.default_rng(11)
+    for total in (2 * _MAX_BYTES, 3 * _MAX_BYTES + 12345):
+        img = rng.integers(0, 256, total).astype(np.uint8)
+        img[rng.random(total) < 0.8] = 0x41  # low-entropy corpus
+        buf = sh_encode_bytes(img)
+        assert buf is not None
+        np.testing.assert_array_equal(sh_decode_bytes(buf), img)
+        np.testing.assert_array_equal(
+            sh_decode_bytes(bytes(buf) + b"\xa5" * 129), img)
+        per_section = sum(
+            len(sh_encode_bytes(img[o:o + _MAX_BYTES]))
+            for o in range(0, total, _MAX_BYTES))
+        assert len(buf) <= per_section * 1.02
 
 
 def test_short_beats_reference_base_rle_on_runny_corpora():
@@ -649,3 +672,33 @@ def test_short32_lut_restart_gains():
     # (raw-ish); with them the stream drops clearly below that
     no_restart_floor = len(img) - 40 + 17
     assert len(enc) < no_restart_floor
+
+
+def test_7lut_short_beats_3lut_on_recurring_symbols(spark_noop=None):
+    """The reference's best non-entropy ratios live in the 7-LUT short
+    forms (README.md:48): with >3 recurring run symbols the deeper LUT
+    must win (more 1-byte LUT-hit commands, fewer escapes), at width 32
+    and width 8."""
+    from rle_spark.codecs import REGISTRY
+    rng = np.random.default_rng(9)
+    pal = rng.integers(1, 1 << 30, 7).astype(np.int64)
+    idx = np.repeat(rng.integers(0, 7, 3000), rng.integers(4, 40, 3000))
+    arr = pal[idx].astype(np.int32)
+    s3 = len(REGISTRY["rle32_3sl_short"].encode(arr))
+    s7 = len(REGISTRY["rle32_7sl_short"].encode(arr))
+    assert s7 < s3
+    # width-8 runs over a 4-byte palette see few byte-level LUT hits:
+    # the deeper LUT must never lose, and wins on a byte-valued corpus
+    s3b = len(REGISTRY["rle8_3sl_short"].encode(arr))
+    s7b = len(REGISTRY["rle8_7sl_short"].encode(arr))
+    assert s7b <= s3b
+    bpal = (pal.astype(np.int64) % 251 + 1) * 0x01010101  # byte-broadcast
+    bytearr = bpal[idx].astype(np.uint32).view(np.int32)
+    s3c = len(REGISTRY["rle8_3sl_short"].encode(bytearr))
+    s7c = len(REGISTRY["rle8_7sl_short"].encode(bytearr))
+    assert s7c < s3c
+    # and a single-symbol corpus is where the 1-LUT form is smallest
+    one = np.full(40_000, 77, np.int32)
+    sizes = {sc: len(REGISTRY[f"rle32_{sc}sl_short"].encode(one))
+             for sc in (1, 3, 7)}
+    assert sizes[1] <= sizes[3] <= sizes[7]
