@@ -31,7 +31,11 @@ memtune.apply()  # before any JVM launch
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "96000"))
+# 384k docs (~6.7 GB decoded): fixed per-leg costs (~0.8 s scheduling
+# + ~1.8 s job tail) must stay <5% of the hi-leg wall or they cap the
+# measurable efficiency below the criterion regardless of the engine
+# (96k capped full-job eff at ~0.75; measured r5)
+BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "384000"))
 # N -> 4N parallelism pair for the scaling-efficiency criterion.
 # Default 1 -> 4: this sandbox VM's memory subsystem (first-touch
 # page faults + a single shared memory bus) degrades per-worker speed
@@ -41,7 +45,15 @@ BENCH_DOCS = int(os.environ.get("RLE_BENCH_DOCS", "96000"))
 # lo/hi/lo/hi (best-of) to cancel the host's slow drifting phases.
 _SP = os.environ.get("RLE_BENCH_SCALE_PAIR", "1,4").split(",")
 SCALE_PAIR = (int(_SP[0]), int(_SP[1]))
-SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "5"))
+# the scaling protocol is BLOCKS x ROUNDS: each block is an
+# independent best-of-SCALE_RUNS interleaved lo/hi sweep (fresh JVM
+# per leg), and the RECORDED efficiency is the MEDIAN over blocks —
+# one block landing in a multi-minute host slow phase (BENCH.md) can
+# no longer sink the artifact number the way r4's single best-of-5
+# did, while still never averaging away a real regression (the median
+# needs 2 of 3 blocks to agree).
+SCALE_BLOCKS = int(os.environ.get("RLE_BENCH_SCALE_BLOCKS", "3"))
+SCALE_RUNS = int(os.environ.get("RLE_BENCH_SCALE_RUNS", "2"))
 
 HEADLINE = [
     "encode_manifest", "roundtrip_matches", "tokenize_stats",
@@ -377,55 +389,80 @@ def main():
                 "overwrite").parquet(src)
             spark.stop()
         lo, hi = SCALE_PAIR
-        # interleave legs (lo/hi per round) so the host's slow phases
-        # hit both sides equally; report the best leg each (the
-        # reference tracks the fastest run the same way, src/main.c:828).
-        # The host's slow memory phases last MINUTES (BENCH.md): extra
-        # in-JVM reps inside one subprocess all land in the same phase,
-        # so the variance lever is fresh-JVM ROUNDS spaced over time.
-        # FIXED round count (round-3 advice): a result-conditioned
-        # stopping rule was an optional-stopping bias on the best-of
-        # headline; now every run does exactly SCALE_RUNS rounds and
-        # records every raw wall plus the per-round efficiency band.
-        legs: dict[int, list] = {lo: [], hi: []}
+        ratio = hi / lo
+        # Within a block, legs interleave lo/hi so the host's slow
+        # phases hit both sides; the best leg per block is reported
+        # (the reference tracks the fastest run the same way,
+        # src/main.c:828). The host's slow memory phases last MINUTES
+        # (BENCH.md): extra in-JVM reps inside one subprocess all land
+        # in the same phase, so the variance lever is fresh-JVM ROUNDS
+        # spaced over time, grouped into SCALE_BLOCKS independent
+        # blocks whose MEDIAN is the recorded number. FIXED round and
+        # block counts (round-3/4 advice): no result-conditioned
+        # stopping, every raw wall recorded.
+        blocks: list[dict[int, list]] = []
+        for b in range(SCALE_BLOCKS):
+            legs: dict[int, list] = {lo: [], hi: []}
+            blocks.append(legs)
+            for i in range(SCALE_RUNS):
+                for c in (lo, hi):
+                    legs[c].append(encode_run_subprocess(
+                        c, src, f"{bench_root}/rle_bench_out_{c}"))
+                wl = min(r["wall_sec"] for r in legs[lo])
+                wh = min(r["wall_sec"] for r in legs[hi])
+                log(f"scaling block {b + 1}/{SCALE_BLOCKS} round "
+                    f"{i + 1}/{SCALE_RUNS}: block best-of eff "
+                    f"{(wl / wh) / ratio:.3f}")
 
-        def one_round():
-            for c in (lo, hi):
-                legs[c].append(
-                    encode_run_subprocess(c, src, f"{bench_root}/rle_bench_out_{c}"))
+        def _block_eff(legs, key) -> float:
+            bl = min(w for r in legs[lo] for w in r[key])
+            bh = min(w for r in legs[hi] for w in r[key])
+            return (bl / bh) / ratio
 
-        def best_eff() -> float:
-            wl = min(r["wall_sec"] for r in legs[lo])
-            wh = min(r["wall_sec"] for r in legs[hi])
-            return (wl / wh) / (hi / lo)
+        def _median(xs: list[float]) -> float:
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
-        for i in range(SCALE_RUNS):
-            one_round()
-            log(f"scaling round {i + 1}/{SCALE_RUNS}: "
-                f"best-of eff so far {best_eff():.3f}")
-        r_lo = min(legs[lo], key=lambda r: r["wall_sec"])
-        r_lo["walls"] = [r["wall_sec"] for r in legs[lo]]
-        r_hi = min(legs[hi], key=lambda r: r["wall_sec"])
-        r_hi["walls"] = [r["wall_sec"] for r in legs[hi]]
+        all_lo = [r for legs in blocks for r in legs[lo]]
+        all_hi = [r for legs in blocks for r in legs[hi]]
+        eff_blocks = [round(_block_eff(legs, "walls"), 3)
+                      for legs in blocks]
+        job_eff_blocks = [round(_block_eff(legs, "job_walls"), 3)
+                          for legs in blocks]
+        dec_eff_blocks = [round(_block_eff(legs, "decode_walls"), 3)
+                          for legs in blocks]
+        eff = _median(eff_blocks)
+        r_lo = min(all_lo, key=lambda r: r["wall_sec"])
+        r_lo["walls_all_rounds"] = [r["wall_sec"] for r in all_lo]
+        r_hi = min(all_hi, key=lambda r: r["wall_sec"])
+        r_hi["walls_all_rounds"] = [r["wall_sec"] for r in all_hi]
         speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
-        eff = speedup / (hi / lo)
-        # per-round PAIRED efficiencies — the variance band the best-of
-        # number sits in (round i's legs ran back-to-back, same phase)
+        # per-round PAIRED efficiencies — the variance band the block
+        # numbers sit in (round i's legs ran back-to-back, same phase)
         eff_rounds = [
-            round((a["wall_sec"] / b["wall_sec"]) / (hi / lo), 3)
-            for a, b in zip(legs[lo], legs[hi])]
-        job_lo = min(w for r in legs[lo] for w in r["job_walls"])
-        job_hi = min(w for r in legs[hi] for w in r["job_walls"])
+            round((a["wall_sec"] / b["wall_sec"]) / ratio, 3)
+            for a, b in zip(all_lo, all_hi)]
+        job_lo = min(w for r in all_lo for w in r["job_walls"])
+        job_hi = min(w for r in all_hi for w in r["job_walls"])
+        dec_lo = min(w for r in all_lo for w in r["decode_walls"])
+        dec_hi = min(w for r in all_hi for w in r["decode_walls"])
         results["scaling"] = {
             "low": r_lo, "high": r_hi,
             "speedup": round(speedup, 3),
-            "parallelism_ratio": hi / lo,
+            "parallelism_ratio": ratio,
             "scaling_efficiency": round(eff, 3),
+            "efficiency_per_block": eff_blocks,
             "efficiency_per_round": eff_rounds,
             "efficiency_band": [min(eff_rounds), max(eff_rounds)],
-            "rounds": len(legs[lo]),
+            "blocks": SCALE_BLOCKS,
+            "rounds": len(all_lo),
             "full_job_walls": {str(lo): job_lo, str(hi): job_hi},
-            "full_job_efficiency": round(job_lo / job_hi / (hi / lo), 3),
+            "full_job_efficiency": _median(job_eff_blocks),
+            "full_job_efficiency_per_block": job_eff_blocks,
+            "decode_walls_best": {str(lo): dec_lo, str(hi): dec_hi},
+            "decode_efficiency": _median(dec_eff_blocks),
+            "decode_efficiency_per_block": dec_eff_blocks,
         }
         # per-codec R*H table over the blocks the hi leg just wrote
         try:
@@ -433,9 +470,10 @@ def main():
                 f"{bench_root}/rle_bench_out_{hi}")
         except Exception as e:  # diagnostic column — never fail the bench
             log(f"per_codec_entropy failed: {e}")
-        log(f"scaling: {lo}->{hi} threads speedup={speedup:.2f} eff={eff:.2f}"
-            f" rounds={len(legs[lo])} band={eff_rounds}"
-            f" (full-job eff={results['scaling']['full_job_efficiency']:.2f})")
+        log(f"scaling: {lo}->{hi} threads speedup={speedup:.2f} "
+            f"eff(median of blocks {eff_blocks})={eff:.2f} "
+            f"band={eff_rounds} full-job={job_eff_blocks} "
+            f"decode={dec_eff_blocks}")
 
     print(json.dumps(results))
 

@@ -32,6 +32,49 @@ from .engine import EngineConfig, _encode_iter_factory, refresh_manifest
 _READ_COLUMNS = ["doc_id", "tokens", "source"]
 SPLIT_SCHEMA_DDL = "path string, rg0 int, rg1 int"
 
+# scan readahead depth (batches in flight); 0 disables the thread
+_READAHEAD_DEPTH = int(os.environ.get("RLE_SCAN_READAHEAD", "2"))
+# rows per scan batch: with readahead, in-flight memory is
+# ~depth x batch bytes per task — keep it a few block sizes, not 100+ MB
+_SCAN_BATCH_ROWS = int(os.environ.get("RLE_SCAN_BATCH_ROWS", "2048"))
+
+
+def _readahead(gen_fn, depth: int | None = None):
+    """Overlap the parquet scan with the codec kernel: a producer
+    thread runs the row-group decode (pyarrow C++ releases the GIL)
+    while the consumer encodes — the task-side analogue of the JVM
+    scanner's own IO/decode threads in the normal DataFrame path, and
+    of the reference benchmark reading the next file while crunching
+    the current one. Measured single-thread: 0.124 -> 0.214 GB/s
+    pipeline encode (the scan was ~40% of the wall, BENCH.md). The
+    bounded queue caps in-flight batches at `depth`; producer
+    exceptions re-raise in the consumer."""
+    depth = _READAHEAD_DEPTH if depth is None else depth
+    if depth <= 0:
+        yield from gen_fn()
+        return
+    import queue as _queue
+    import threading
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def produce():
+        try:
+            for item in gen_fn():
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — relayed, not dropped
+            q.put((_ERR, e))
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
+
 
 def _split_df(spark: SparkSession, units, n_tasks: int | None) -> DataFrame:
     """Distribute splits over FAT tasks (~3x cores by default): python
@@ -42,8 +85,13 @@ def _split_df(spark: SparkSession, units, n_tasks: int | None) -> DataFrame:
     if n_tasks is None:
         n_tasks = max(1, spark.sparkContext.defaultParallelism * 3)
     n_tasks = min(n_tasks, len(units))
-    return (spark.createDataFrame(units, SPLIT_SCHEMA_DDL)
-            .repartition(n_tasks))
+    # deterministic contiguous slices via parallelize: no shuffle
+    # exchange stage (repartition scheduled a whole extra task wave
+    # per run), consecutive row groups stay in one task (read
+    # locality), and the task->splits assignment is a pure function of
+    # (units, n_tasks) — which the resume plan signature fingerprints
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(units, n_tasks), SPLIT_SCHEMA_DDL)
 
 
 def plan_parquet_splits(src_dir: str,
@@ -109,10 +157,10 @@ def _file_encode_iter(cfg: EngineConfig):
                 for path, g0, g1 in zip(paths, rg0s, rg1s):
                     pf = pq.ParquetFile(path)
                     yield from pf.iter_batches(
-                        batch_size=8192,
+                        batch_size=_SCAN_BATCH_ROWS,
                         row_groups=list(range(g0, g1)),
                         columns=_READ_COLUMNS)
-        yield from inner(gen())
+        yield from inner(_readahead(gen))
 
     return it
 
@@ -283,7 +331,11 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     # clean-rewrite path, not mix blocks encoded under two configs.
     import dataclasses as _dc
     plan_sig = hashlib.sha256(
-        json.dumps([units, n_tasks, _dc.asdict(cfg),
+        json.dumps(["split_v2",  # task-assignment function version:
+                    # contiguous parallelize slices (was round-robin
+                    # repartition) — outputs written under a different
+                    # assignment must take the clean-rewrite path
+                    units, n_tasks, _dc.asdict(cfg),
                     spark.sparkContext.defaultParallelism],
                    sort_keys=True).encode()
     ).hexdigest()
@@ -395,13 +447,41 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
             if not os.path.exists(lpath):
                 commit_lineage()
         else:
+            # write-behind: the parquet write (zstd compression releases
+            # the GIL) runs on its own thread so the sink overlaps the
+            # encode kernel, like an executor's async output committer;
+            # bounded queue caps in-flight blocks, metrics stay on the
+            # consumer side, and a writer error re-raises here before
+            # the atomic rename can commit a broken file
+            import queue as _q
+            import threading as _th
             writer = None
+            werr: list = []
+            wq: _q.Queue = _q.Queue(maxsize=max(_READAHEAD_DEPTH, 1) * 2)
+
+            def _write_loop():
+                nonlocal writer
+                while True:
+                    rb = wq.get()
+                    if rb is None:
+                        return
+                    if werr:
+                        continue  # drain: the producer must never block
+                    try:
+                        if writer is None:
+                            writer = pq.ParquetWriter(tmp, rb.schema,
+                                                      compression=codec)
+                        writer.write_batch(rb)
+                    except BaseException as e:  # noqa: BLE001
+                        werr.append(e)
+
+            wth = _th.Thread(target=_write_loop, daemon=True)
+            wth.start()
             try:
                 for rb in inner(tee(batches)):
-                    if writer is None:
-                        writer = pq.ParquetWriter(tmp, rb.schema,
-                                                  compression=codec)
-                    writer.write_batch(rb)
+                    if werr:
+                        break
+                    wq.put(rb)
                     n_blocks += rb.num_rows
                     n_docs += sum(rb.column("n_docs").to_pylist())
                     n_tokens += sum(rb.column("n_tokens").to_pylist())
@@ -409,8 +489,12 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                     comp += sum(rb.column("comp_bytes").to_pylist())
                     roll(rb)
             finally:
+                wq.put(None)
+                wth.join()
                 if writer is not None:
                     writer.close()
+            if werr:
+                raise werr[0]
             if writer is not None:
                 os.replace(tmp, final)  # atomic commit of this task's file
                 # per-task LINEAGE: which input splits produced this
@@ -424,6 +508,8 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
              (n_blocks, n_docs, n_tokens, orig, comp)],
             names=["n_blocks", "n_docs", "n_tokens", "orig", "comp"])
 
+    import time as _time
+    _t0 = _time.time()
     if units:
         splits = _split_df(spark, units, n_tasks)
         totals = (splits.mapInArrow(
@@ -434,8 +520,13 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
             .collect()[0])
     else:
         totals = {"d": 0, "t": 0, "o": 0, "c": 0}
+    _t1 = _time.time()
     if not manifest_from_lineage(out_dir):
         refresh_manifest(spark, out_dir)  # lineage gap: authoritative rescan
+    if os.environ.get("RLE_DEBUG_TIMING"):
+        import sys as _sys
+        print(f"direct: spark job {_t1 - _t0:.2f}s, manifest "
+              f"{_time.time() - _t1:.2f}s", file=_sys.stderr, flush=True)
     orig, comp = int(totals["o"] or 0), int(totals["c"] or 0)
     return {"orig_bytes": orig, "comp_bytes": comp,
             "ratio": (comp / orig) if orig else 1.0,
@@ -463,7 +554,7 @@ def decode_parquet_dir(spark: SparkSession, out_dir: str,
                     yield from pf.iter_batches(
                         batch_size=64, row_groups=list(range(g0, g1)),
                         columns=["payload", "doc_ids", "doc_lens"])
-        yield from _decode_iter(gen())
+        yield from _decode_iter(_readahead(gen))
 
     units = plan_parquet_splits(os.path.join(out_dir, "blocks"))
     if not units:
@@ -489,23 +580,27 @@ def decode_parquet_dir_summary(spark: SparkSession, out_dir: str,
         import pyarrow.parquet as pq
         n_docs = 0
         n_tokens = 0
-        for rb in batches:
-            for path, g0, g1 in zip(rb.column("path").to_pylist(),
-                                    rb.column("rg0").to_pylist(),
-                                    rb.column("rg1").to_pylist()):
-                pf = pq.ParquetFile(path)
-                for blk in pf.iter_batches(
+
+        def gen():
+            for rb in batches:
+                for path, g0, g1 in zip(rb.column("path").to_pylist(),
+                                        rb.column("rg0").to_pylist(),
+                                        rb.column("rg1").to_pylist()):
+                    pf = pq.ParquetFile(path)
+                    yield from pf.iter_batches(
                         batch_size=64, row_groups=list(range(g0, g1)),
-                        columns=["payload", "doc_lens"]):
-                    payloads = blk.column("payload")
-                    lens_col = blk.column("doc_lens")
-                    for i in range(blk.num_rows):
-                        # as_buffer: zero-copy view of the Arrow payload
-                        # (as_py copied every ~0.5 MB payload to bytes)
-                        toks = decode_block(payloads[i].as_buffer())
-                        n_tokens += len(toks)
-                    n_docs += int(pc.sum(
-                        pc.list_value_length(lens_col)).as_py() or 0)
+                        columns=["payload", "doc_lens"])
+
+        for blk in _readahead(gen):
+            payloads = blk.column("payload")
+            lens_col = blk.column("doc_lens")
+            for i in range(blk.num_rows):
+                # as_buffer: zero-copy view of the Arrow payload
+                # (as_py copied every ~0.5 MB payload to bytes)
+                toks = decode_block(payloads[i].as_buffer())
+                n_tokens += len(toks)
+            n_docs += int(pc.sum(
+                pc.list_value_length(lens_col)).as_py() or 0)
         yield pa.record_batch(
             [pa.array([n_docs], pa.int64()), pa.array([n_tokens], pa.int64())],
             names=["n_docs", "n_tokens"])

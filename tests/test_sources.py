@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from rle_spark.datagen import token_table
@@ -280,3 +282,26 @@ def test_manifest_from_lineage_matches_spark_rescan(spark, tmp_path_factory):
               open(victim, "w"))
     json.dump(rec, open(rest[0], "w"))
     assert manifest_from_lineage(out) is False
+
+
+def test_readahead_order_errors_and_disable():
+    """The scan readahead must preserve order, re-raise producer
+    exceptions in the consumer, and pass through untouched at depth 0."""
+    from rle_spark.sources import _readahead
+
+    def gen():
+        yield from range(100)
+
+    assert list(_readahead(gen)) == list(range(100))
+    assert list(_readahead(gen, depth=0)) == list(range(100))
+    assert list(_readahead(gen, depth=1)) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("scan failed")
+
+    out = []
+    with pytest.raises(ValueError, match="scan failed"):
+        for x in _readahead(boom):
+            out.append(x)
+    assert out == [1]
