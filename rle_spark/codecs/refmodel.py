@@ -30,6 +30,8 @@ __spark_entry__.py exactly, value for value.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from .base import find_runs
@@ -245,3 +247,118 @@ def ref_short_size_exact(img: np.ndarray, sym_count: int = 7,
     if last_rle == n:
         return size + 7
     return size + 9 + (n - last_rle)
+
+
+def ref_short_bytes_exact(img: np.ndarray, sym_count: int = 7,
+                          sym_bytes: int = 1) -> bytes:
+    """BYTE-level independent replay of the reference short encoder —
+    the emit expressions transcribed directly from
+    rleX_Xsl_short.h:269 (1-byte valuePack8), :283-319 (medium
+    valuePack1-3 + u16/u32 escapes, markers storedCountX/rangeX in
+    {1, 0}), :352-356 (LUT-miss symbol), :455-517 (terminal forms),
+    :390 (8-byte header, [1] = compressed length). Deliberately NOT
+    implemented in terms of short.py: stream equality between this
+    replay and short_encode_bytes/short_sym_encode_bytes is the
+    byte-exactness proof for the F5 family."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    n = len(img)
+    lut_bits, cbp = _SHORT_PARAMS[sym_count]
+    rbp = 8 - lut_bits - cbp
+    range_bits = (24 - lut_bits - rbp - 9 if sym_count == 7
+                  else 24 - lut_bits - cbp - 9)
+    invalid = (1 << cbp) - 1
+    max_packed_count = (1 << cbp) - 2
+    max_packed_range = (1 << rbp) - 1
+    max_tiny_range = (1 << range_bits) - 1
+    min_long = 3 + 4 + 4 + sym_bytes
+    out = bytearray(struct.pack("<II", n, 0))
+    n_sym = n // sym_bytes
+
+    def emit_cmd(idx, stored, rng, v, miss, lit):
+        if (rng - 2 <= max_packed_range
+                and stored - 2 <= max_packed_count):
+            out.append((idx << (cbp + rbp)) | ((stored - 2) << rbp)
+                       | (rng - 2))
+        else:
+            scx = stored if stored <= 511 else (1 if stored <= 0xFFFF
+                                                else 0)
+            rx = rng if rng <= max_tiny_range else (1 if rng <= 0xFFFF
+                                                    else 0)
+            out.append(((idx << (cbp + rbp)) | (invalid << rbp)
+                        | ((scx << (range_bits - 8)) >> 8)) & 0xFF)
+            out.append(((scx << (range_bits - 8)) | (rx >> 8)) & 0xFF)
+            out.append(rx & 0xFF)
+            if stored != scx:
+                out.extend(struct.pack("<H" if stored <= 0xFFFF else "<I",
+                                       stored))
+            if rng != rx:
+                out.extend(struct.pack("<H" if rng <= 0xFFFF else "<I",
+                                       rng))
+        if miss:
+            out.extend(int(v).to_bytes(sym_bytes, "little"))
+        out.extend(lit)
+
+    def terminal(sc_byte_payload, accepted, tail):
+        out.append(invalid << rbp)
+        out.append(sc_byte_payload)
+        if accepted:
+            out.append(1)
+            out.extend(struct.pack("<HH", 0, 0))
+        else:
+            out.append(0)
+            out.extend(struct.pack("<HI", 0, len(tail) + 2))
+            out.extend(tail)
+
+    # terminal pv2: 0b100 (sc=3) / 0b1000 (sc=1) / 0b10 (sc=7)
+    # (rleX_Xsl_short.h:462-472)
+    sc_byte = {3: 0b00000100, 1: 0b00001000, 7: 0b00000010}[sym_count]
+    if n_sym == 0:
+        terminal(sc_byte, False, img.tobytes())
+        struct.pack_into("<I", out, 4, len(out))
+        return bytes(out)
+    if sym_bytes == 1:
+        sym = img
+        lut = list(_SHORT_INIT[sym_count])
+    elif sym_bytes in (2, 4, 8):
+        sym = img[: n_sym * sym_bytes].view(f"<u{sym_bytes}")
+        lut = _short_seeds_wide(sym_count, sym_bytes)
+    else:
+        mtx = (img[: n_sym * sym_bytes]
+               .reshape(n_sym, sym_bytes).astype(np.int64))
+        sym = mtx @ (np.int64(1) << (8 * np.arange(sym_bytes,
+                                                   dtype=np.int64)))
+        lut = _short_seeds_wide(sym_count, sym_bytes)
+    starts, lens = find_runs(sym)
+    last_rle = 0
+    for s, ln, v in zip(starts.tolist(), lens.tolist(),
+                        sym[starts].tolist()):
+        cb = ln * sym_bytes
+        sb = s * sym_bytes
+        if cb < 2:
+            continue
+        rng = sb - last_rle + 2
+        stored = ln - (2 // sym_bytes) + 2
+        miss = v not in lut
+        pen = sym_bytes if miss else 0
+        tiny = (rng - 2 <= max_packed_range
+                and stored - 2 <= max_packed_count)
+        if not tiny:
+            pen += 2
+            if not (stored <= 511 and rng <= max_tiny_range):
+                pen += (0 if rng <= max_tiny_range
+                        else 2 if rng <= 0xFFFFF else 4)
+                pen += 0 if stored <= 511 else 2 if stored <= 0xFFFFF else 4
+        if not (cb >= min_long or cb >= 2 + pen):
+            continue
+        idx = sym_count if miss else lut.index(v)
+        emit_cmd(idx, stored, rng, v, miss,
+                 img[last_rle:sb].tobytes())
+        if miss:
+            lut.insert(0, v)
+            lut.pop()
+        elif idx:
+            lut.insert(0, lut.pop(idx))
+        last_rle = sb + cb
+    terminal(sc_byte, last_rle == n, img[last_rle:].tobytes())
+    struct.pack_into("<I", out, 4, len(out))
+    return bytes(out)

@@ -702,3 +702,33 @@ def test_7lut_short_beats_3lut_on_recurring_symbols(spark_noop=None):
     sizes = {sc: len(REGISTRY[f"rle32_{sc}sl_short"].encode(one))
              for sc in (1, 3, 7)}
     assert sizes[1] <= sizes[3] <= sizes[7]
+
+
+@pytest.mark.parametrize("sym_bytes", [1, 2, 3, 4, 6, 8])
+@pytest.mark.parametrize("sc", [1, 3, 7])
+def test_short_stream_bytes_match_ref_replay(sc, sym_bytes):
+    """BYTE-exactness of the F5 short streams: the encoder output must
+    equal ref_short_bytes_exact — an independent transcription of the
+    reference's emit expressions (valuePack8/1/2/3, escape markers,
+    LUT-miss symbol, terminal forms, header) from rleX_Xsl_short.h.
+    This retires the round-1..4 'in-word bit placement is
+    canonicalized' deviation: sizes AND streams now match."""
+    from rle_spark.codecs.refmodel import ref_short_bytes_exact
+    from rle_spark.codecs.short import (short_encode_bytes,
+                                        short_sym_encode_bytes)
+    from tests.fuzzgen import fuzz_tokens
+    rng = np.random.default_rng(97 + sc * 10 + sym_bytes)
+    cases = [fuzz_tokens(s, vocab=30).view(np.uint8)[:40_000]
+             for s in range(4)]
+    cases += [rng.integers(0, 256, L).astype(np.uint8)
+              for L in (0, 1, sym_bytes, sym_bytes + 1, 17, 4097)]
+    pal = rng.integers(0, 1 << min(8 * sym_bytes - 1, 62), 6)
+    idx = np.repeat(rng.integers(0, 6, 700), rng.integers(1, 28, 700))
+    raw = b"".join(int(pal[i]).to_bytes(sym_bytes, "little")
+                   for i in idx.tolist())
+    cases.append(np.frombuffer(raw, np.uint8))
+    cases.append(np.frombuffer(raw, np.uint8)[: max(0, len(raw) - 3)])
+    enc = (short_encode_bytes if sym_bytes == 1
+           else lambda im, c: short_sym_encode_bytes(im, c, sym_bytes))
+    for img in cases:
+        assert enc(img, sc) == ref_short_bytes_exact(img, sc, sym_bytes)
