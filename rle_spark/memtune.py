@@ -21,6 +21,12 @@ _VARS = {
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
     "MALLOC_TOP_PAD_": str(1 << 25),
+    # Route Arrow allocations through glibc malloc so they share the
+    # tuned heap arena above: Arrow's bundled jemalloc returns big
+    # scan-batch buffers to the OS on free, re-paying this host's
+    # pathological first-touch fault cost on every batch — measured
+    # ~7% off the 4-worker encode leg (8.06 -> 7.48 s at 6.7 GB).
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 
