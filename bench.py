@@ -307,20 +307,28 @@ def per_codec_entropy(out_dir: str) -> dict:
         else:
             ir = 0.0
         r = (c / o) if o else 1.0
-        t0 = _time.time()
-        decoded = [decode_block(payload)  # framed: strips the header
-                   for payload, _nt in blocks]
-        dwall = _time.time() - t0
-        # encode replay over the same decoded arrays: the reference
-        # benchmark's per-codec enc MiB/s column (README.md tables) —
-        # pure codec span, input already an in-memory buffer exactly
-        # like the reference's timed loop (src/main.c:808-828)
+        # best-of-2 replays (reference fastest-run protocol): a single
+        # replay can land in one of the host's slow phases and report
+        # half the real kernel speed (r4 0.633 vs an r5 first-replay
+        # 0.478 GB/s for identical rle32_sym code)
+        dwall = ewall = float("inf")
+        decoded = None
         from rle_spark.codecs import REGISTRY as _REG
         enc = _REG[cname].encode
-        t0 = _time.time()
-        for arr in decoded:
-            enc(arr)
-        ewall = _time.time() - t0
+        for _rep in range(2):
+            t0 = _time.time()
+            decoded = [decode_block(payload)  # framed: strips the header
+                       for payload, _nt in blocks]
+            dwall = min(dwall, _time.time() - t0)
+            # encode replay over the same decoded arrays: the reference
+            # benchmark's per-codec enc MiB/s column (README.md
+            # tables) — pure codec span, input already an in-memory
+            # buffer exactly like the reference's timed loop
+            # (src/main.c:808-828)
+            t0 = _time.time()
+            for arr in decoded:
+                enc(arr)
+            ewall = min(ewall, _time.time() - t0)
         out[cname] = {"blocks": n, "orig_bytes": int(o),
                       "comp_bytes": int(c), "ratio": round(r, 4),
                       "info_ratio": round(ir, 4),
