@@ -120,7 +120,8 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list]]:
 
 
 def encode_run(cpus: int, src_path: str, out_dir: str,
-               stage_runs: int = 3, job_runs: int = 1) -> dict:
+               stage_runs: int = 3, job_runs: int = 1,
+               dry_src: str | None = None) -> dict:
     """Encode measurements (mapside layout) at the given parallelism.
 
     Two quantities per leg:
@@ -158,31 +159,35 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
     spark = (make_spark(cpus, f"bench-encode-{cpus}"))
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # dry pass (reference protocol, src/main.c:808-811): page-cache
-        # the input + spawn/heap-warm one python worker per core so the
-        # timed run measures the codecs, not worker spawn / first-touch
-        # page faults
+        # dry pass (reference protocol, src/main.c:808-811): spawn +
+        # heap-warm one python worker per core, JIT/codegen the plan
+        # shapes, warm the writer path — on a SMALL twin corpus when
+        # one is provided (the corpus itself lives in shm, so there is
+        # no disk cache to warm; a full-size dry spent ~50 s/leg
+        # buying nothing the best-of-3 timed reps don't already absorb,
+        # wall that now funds a third protocol round per block)
         spark.read.parquet(src_path).selectExpr("sum(n_tok)").collect()
         warm_python_workers(spark, cpus)
+        dry_path = dry_src or src_path
         cfg = EngineConfig(block_tokens=1 << 18, layout="mapside")
 
-        def blocks_df(rep: int):
+        def blocks_df(rep: int, path: str = src_path):
             # fresh lineage per run (the _rep literal changes the plan)
             # so Spark cannot serve a repeat from reused stage output.
             # files transport: summary kernel (payload dropped in-task;
             # the real job writes it python-side, never IPCs it back)
             if use_files:
                 return (encode_parquet_dir_summary(
-                    spark, src_path, cfg, target_split_bytes=16 << 20,
+                    spark, path, cfg, target_split_bytes=16 << 20,
                     n_tasks=n_tasks)
                     .withColumn("_rep", F.lit(rep)))
-            return encode_dataframe(spark.read.parquet(src_path)
+            return encode_dataframe(spark.read.parquet(path)
                                     .withColumn("_rep", F.lit(rep)), cfg)
 
-        # full untimed dry encode (reference protocol src/main.c:808-811):
+        # untimed dry encode (reference protocol src/main.c:808-811):
         # first runs are consistently slowest (codegen/JIT + allocator
         # warm-up in every worker) — measured 1.5-2x above steady state
-        blocks_df(-1).agg(F.sum("comp_bytes")).collect()
+        blocks_df(-1, dry_path).agg(F.sum("comp_bytes")).collect()
         stage_walls = []
         orig = comp = 0
         for i in range(stage_runs):
@@ -196,14 +201,16 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
         summary = None
         # untimed dry job (same protocol as the stage/decode legs,
         # reference src/main.c:808-811): first run pays writer-path
-        # warm-up (zstd contexts, parquet writer import) ~1.2-2x
+        # warm-up (zstd contexts, parquet writer import) ~1.2-2x —
+        # the small twin corpus warms exactly those paths; the timed
+        # job's scan/encode span is already steady from the stage reps
         shutil.rmtree(out_dir, ignore_errors=True)
         if use_files:
-            encode_parquet_dir_direct(spark, src_path, out_dir, cfg,
+            encode_parquet_dir_direct(spark, dry_path, out_dir, cfg,
                                       target_split_bytes=16 << 20,
                                       n_tasks=n_tasks)
         else:
-            encode_table(spark, spark.read.parquet(src_path), out_dir, cfg,
+            encode_table(spark, spark.read.parquet(dry_path), out_dir, cfg,
                          resume=False)
         for _ in range(job_runs):
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -338,14 +345,16 @@ def per_codec_entropy(out_dir: str) -> dict:
     return out
 
 
-def encode_run_subprocess(cpus: int, src: str, out_dir: str) -> dict:
+def encode_run_subprocess(cpus: int, src: str, out_dir: str,
+                          dry_src: str | None = None) -> dict:
     """Each parallelism level gets a fresh JVM + python process (the
     in-process JVM carries warm/cold state between sessions and skews
     the comparison)."""
     import subprocess
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         "--encode-run", str(cpus), src, out_dir],
+         "--encode-run", str(cpus), src, out_dir,
+         *([dry_src] if dry_src else [])],
         capture_output=True, text=True, timeout=1200)
     sys.stderr.write(p.stderr[-2000:])
     if p.returncode != 0:
@@ -355,7 +364,9 @@ def encode_run_subprocess(cpus: int, src: str, out_dir: str) -> dict:
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--encode-run":
-        print(json.dumps(encode_run(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
+        print(json.dumps(encode_run(
+            int(sys.argv[2]), sys.argv[3], sys.argv[4],
+            dry_src=sys.argv[5] if len(sys.argv) > 5 else None)))
         return
     results: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "unit": "sec"}
 
@@ -388,13 +399,20 @@ def main():
         # shared local disk
         bench_root = ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
         src = f"{bench_root}/rle_bench_tokens_{BENCH_DOCS}"
-        if not os.path.exists(os.path.join(src, "_SUCCESS")):
-            log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
+        dry_docs = max(2000, BENCH_DOCS // 16)
+        dry_src = f"{bench_root}/rle_bench_tokens_dry_{dry_docs}"
+        if not (os.path.exists(os.path.join(src, "_SUCCESS"))
+                and os.path.exists(os.path.join(dry_src, "_SUCCESS"))):
+            log(f"generating {BENCH_DOCS} (+{dry_docs} dry) synthetic "
+                f"docs -> {src}")
             spark = make_spark(CPUS, "bench-gen")
             spark.sparkContext.setLogLevel("ERROR")
             from rle_spark.datagen import token_table
             token_table(spark, BENCH_DOCS, seed=42).write.mode(
                 "overwrite").parquet(src)
+            # small same-shape twin for the untimed warm-up passes
+            token_table(spark, dry_docs, seed=43).write.mode(
+                "overwrite").parquet(dry_src)
             spark.stop()
         lo, hi = SCALE_PAIR
         ratio = hi / lo
@@ -415,7 +433,8 @@ def main():
             for i in range(SCALE_RUNS):
                 for c in (lo, hi):
                     legs[c].append(encode_run_subprocess(
-                        c, src, f"{bench_root}/rle_bench_out_{c}"))
+                        c, src, f"{bench_root}/rle_bench_out_{c}",
+                        dry_src=dry_src))
                 wl = min(r["wall_sec"] for r in legs[lo])
                 wh = min(r["wall_sec"] for r in legs[hi])
                 log(f"scaling block {b + 1}/{SCALE_BLOCKS} round "
