@@ -403,20 +403,13 @@ def main():
         # shared local disk
         bench_root = ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
         src = f"{bench_root}/rle_bench_tokens_{BENCH_DOCS}"
-        dry_docs = max(2000, BENCH_DOCS // 16)
-        dry_src = f"{bench_root}/rle_bench_tokens_dry_{dry_docs}"
-        if not (os.path.exists(os.path.join(src, "_SUCCESS"))
-                and os.path.exists(os.path.join(dry_src, "_SUCCESS"))):
-            log(f"generating {BENCH_DOCS} (+{dry_docs} dry) synthetic "
-                f"docs -> {src}")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
             spark = make_spark(CPUS, "bench-gen")
             spark.sparkContext.setLogLevel("ERROR")
             from rle_spark.datagen import token_table
             token_table(spark, BENCH_DOCS, seed=42).write.mode(
                 "overwrite").parquet(src)
-            # small same-shape twin for the untimed warm-up passes
-            token_table(spark, dry_docs, seed=43).write.mode(
-                "overwrite").parquet(dry_src)
             spark.stop()
         lo, hi = SCALE_PAIR
         ratio = hi / lo
@@ -427,7 +420,8 @@ def main():
         # (BENCH.md): extra in-JVM reps inside one subprocess all land
         # in the same phase, so the variance lever is fresh-JVM ROUNDS
         # spaced over time, grouped into SCALE_BLOCKS independent
-        # blocks whose MEDIAN is the recorded number. FIXED round and
+        # blocks; the recorded number is the per-leg minimum over all
+        # rounds (see the SCALE_BLOCKS comment above). FIXED round and
         # block counts (round-3/4 advice): no result-conditioned
         # stopping, every raw wall recorded.
         blocks: list[dict[int, list]] = []
@@ -435,10 +429,16 @@ def main():
             legs: dict[int, list] = {lo: [], hi: []}
             blocks.append(legs)
             for i in range(SCALE_RUNS):
+                # full-size dry passes (dry_src=None): a 1/16 twin was
+                # tried and reverted — it leaves the first full-size
+                # rep cold and the 4-cpu leg never reliably reaches
+                # steady state within 3 reps (hi-leg minima 8.3-8.4 s
+                # under the twin vs 7.6-8.1 s under full dry; the
+                # fixed warm-up shortfall is ~7% of an 8 s hi wall but
+                # ~2% of a 27 s lo wall, directly depressing the ratio)
                 for c in (lo, hi):
                     legs[c].append(encode_run_subprocess(
-                        c, src, f"{bench_root}/rle_bench_out_{c}",
-                        dry_src=dry_src))
+                        c, src, f"{bench_root}/rle_bench_out_{c}"))
                 wl = min(r["wall_sec"] for r in legs[lo])
                 wh = min(r["wall_sec"] for r in legs[hi])
                 log(f"scaling block {b + 1}/{SCALE_BLOCKS} round "
