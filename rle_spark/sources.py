@@ -76,26 +76,93 @@ def _readahead(gen_fn, depth: int | None = None):
         yield item
 
 
+def _balanced_contiguous_groups(units, n_tasks: int) -> list[list]:
+    """Partition sized units (4-tuples ending in byte size) into
+    exactly min(n_tasks, len) CONTIGUOUS groups minimizing the max
+    group bytes (binary search on the cap + greedy fill). Contiguity
+    keeps consecutive row groups in one task (read locality) and makes
+    the assignment a pure function of (units, n_tasks) for the resume
+    plan signature. Count-positional slicing (what parallelize does)
+    left 12% byte skew between tasks on the bench corpus — the stage
+    wall is the max task, so that skew came straight out of the
+    measured scaling efficiency; byte-balanced boundaries get 1.4%."""
+    n = min(n_tasks, len(units))
+    byts = [u[3] for u in units]
+
+    def n_groups_at(cap: int) -> int:
+        g, acc = 1, 0
+        for b in byts:
+            if acc + b > cap:
+                g, acc = g + 1, b
+            else:
+                acc += b
+        return g
+
+    lo, hi = max(byts), sum(byts)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if n_groups_at(mid) <= n:
+            hi = mid
+        else:
+            lo = mid + 1
+    cap = lo
+    groups: list[list] = []
+    i, m = 0, len(units)
+    for j in range(n):
+        left = n - j - 1  # groups still to fill after this one
+        grp, acc = [units[i]], byts[i]
+        i += 1
+        # take more while under cap, leaving >=1 unit per later group;
+        # the last group takes everything that remains
+        while i < m and (m - i) > left and (left == 0
+                                            or acc + byts[i] <= cap):
+            grp.append(units[i])
+            acc += byts[i]
+            i += 1
+        groups.append(grp)
+    if i < m:  # defensive: cap infeasible under the reserve rule
+        groups[-1].extend(units[i:])
+    return groups
+
+
 def _split_df(spark: SparkSession, units, n_tasks: int | None) -> DataFrame:
     """Distribute splits over FAT tasks (~3x cores by default): python
     worker task setup costs ~200 ms on this host (measured: 32 tasks
     added 6-8 s to a 3 s read at local[1]), and a real cluster also
     wants a small multiple of total cores, not one task per row
-    group — each task loops over its list of splits."""
+    group — each task loops over its list of splits.
+
+    Sized units (4-tuples from plan_parquet_splits(with_bytes=True))
+    get byte-balanced contiguous groups, one group per task — the
+    stage wall is the slowest task, so task bytes, not unit counts,
+    are what must be equal. Plain 3-tuple units keep the positional
+    parallelize slicing."""
     if n_tasks is None:
         n_tasks = max(1, spark.sparkContext.defaultParallelism * 3)
     n_tasks = min(n_tasks, len(units))
+    sc = spark.sparkContext
+    if (units and len(units[0]) == 4
+            and os.environ.get("RLE_SPLIT_BALANCE", "1") != "0"):
+        groups = [[(p, g0, g1) for p, g0, g1, _ in g]
+                  for g in _balanced_contiguous_groups(units, n_tasks)]
+        # one group per partition: parallelize a list of exactly
+        # len(groups) elements with numSlices=len(groups), then
+        # flatten inside the partition — no shuffle, no repartition
+        rdd = sc.parallelize(groups, len(groups)).flatMap(lambda g: g)
+        return spark.createDataFrame(rdd, SPLIT_SCHEMA_DDL)
     # deterministic contiguous slices via parallelize: no shuffle
     # exchange stage (repartition scheduled a whole extra task wave
     # per run), consecutive row groups stay in one task (read
     # locality), and the task->splits assignment is a pure function of
     # (units, n_tasks) — which the resume plan signature fingerprints
+    rows = [u[:3] for u in units]
     return spark.createDataFrame(
-        spark.sparkContext.parallelize(units, n_tasks), SPLIT_SCHEMA_DDL)
+        spark.sparkContext.parallelize(rows, n_tasks), SPLIT_SCHEMA_DDL)
 
 
 def plan_parquet_splits(src_dir: str,
-                        target_bytes: int = 128 << 20) -> list[tuple[str, int, int]]:
+                        target_bytes: int = 128 << 20,
+                        with_bytes: bool = False) -> list[tuple]:
     """Driver-side split planning: group each file's row groups into
     ~target_bytes units (metadata-only reads — the driver never touches
     data pages; at 100 TB this is the Iceberg manifest listing).
@@ -105,7 +172,10 @@ def plan_parquet_splits(src_dir: str,
     dirs; hidden dot-dirs (staging areas) are skipped by glob itself.
     A directory with visible entries but zero parquet files raises —
     silently planning nothing turned a valid table into an empty
-    DataFrame (round-2 advice)."""
+    DataFrame (round-2 advice).
+
+    with_bytes=True appends each unit's total row-group byte size as a
+    4th field — _split_df uses it to byte-balance the task groups."""
     import pyarrow.parquet as pq
     units: list[tuple[str, int, int]] = []
     base = os.path.normpath(src_dir)
@@ -135,11 +205,13 @@ def plan_parquet_splits(src_dir: str,
         for i in range(md.num_row_groups):
             acc += md.row_group(i).total_byte_size
             if acc >= target_bytes:
-                units.append((path, cur0, i + 1))
+                units.append((path, cur0, i + 1, acc))
                 cur0, acc = i + 1, 0
         if cur0 < md.num_row_groups:
-            units.append((path, cur0, md.num_row_groups))
-    return units
+            units.append((path, cur0, md.num_row_groups, acc))
+    if with_bytes:
+        return units
+    return [(p, g0, g1) for p, g0, g1, _ in units]
 
 
 def _file_encode_iter(cfg: EngineConfig):
@@ -173,7 +245,8 @@ def encode_parquet_dir(spark: SparkSession, src_dir: str,
     file-granular source (zero-shuffle; bucket = task ordinal, exactly
     like the mapside DataFrame path)."""
     cfg = cfg or EngineConfig(layout="mapside")
-    units = plan_parquet_splits(src_dir, target_split_bytes)
+    units = plan_parquet_splits(src_dir, target_split_bytes,
+                                with_bytes=True)
     if not units:
         return spark.createDataFrame([], BLOCK_SCHEMA_DDL)
     splits = _split_df(spark, units, n_tasks)
@@ -205,7 +278,8 @@ def encode_parquet_dir_summary(spark: SparkSession, src_dir: str,
             yield pa.record_batch([rb.column(c) for c in _SUMMARY_COLS],
                                   names=_SUMMARY_COLS)
 
-    units = plan_parquet_splits(src_dir, target_split_bytes)
+    units = plan_parquet_splits(src_dir, target_split_bytes,
+                                with_bytes=True)
     if not units:
         return spark.createDataFrame([], BLOCK_SUMMARY_DDL)
     return _split_df(spark, units, n_tasks).mapInArrow(it, BLOCK_SUMMARY_DDL)
@@ -317,7 +391,8 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     inner = _file_encode_iter(cfg)
     codec = cfg.parquet_codec
 
-    units = plan_parquet_splits(src_dir, target_split_bytes)
+    units = plan_parquet_splits(src_dir, target_split_bytes,
+                                with_bytes=True)
     if n_tasks is None:
         n_tasks = max(1, spark.sparkContext.defaultParallelism * 3)
     n_tasks = min(n_tasks, max(len(units), 1))
@@ -331,10 +406,11 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     # clean-rewrite path, not mix blocks encoded under two configs.
     import dataclasses as _dc
     plan_sig = hashlib.sha256(
-        json.dumps(["split_v2",  # task-assignment function version:
-                    # contiguous parallelize slices (was round-robin
-                    # repartition) — outputs written under a different
-                    # assignment must take the clean-rewrite path
+        json.dumps(["split_v3",  # task-assignment function version:
+                    # byte-balanced contiguous groups (v2: positional
+                    # parallelize slices; v1: round-robin repartition) —
+                    # outputs written under a different assignment must
+                    # take the clean-rewrite path
                     units, n_tasks, _dc.asdict(cfg),
                     spark.sparkContext.defaultParallelism],
                    sort_keys=True).encode()
@@ -556,7 +632,8 @@ def decode_parquet_dir(spark: SparkSession, out_dir: str,
                         columns=["payload", "doc_ids", "doc_lens"])
         yield from _decode_iter(_readahead(gen))
 
-    units = plan_parquet_splits(os.path.join(out_dir, "blocks"))
+    units = plan_parquet_splits(os.path.join(out_dir, "blocks"),
+                                with_bytes=True)
     if not units:
         from .blocks import DECODED_SCHEMA_DDL
         return spark.createDataFrame([], DECODED_SCHEMA_DDL)
@@ -605,7 +682,8 @@ def decode_parquet_dir_summary(spark: SparkSession, out_dir: str,
             [pa.array([n_docs], pa.int64()), pa.array([n_tokens], pa.int64())],
             names=["n_docs", "n_tokens"])
 
-    units = plan_parquet_splits(os.path.join(out_dir, "blocks"))
+    units = plan_parquet_splits(os.path.join(out_dir, "blocks"),
+                                with_bytes=True)
     if not units:
         return spark.createDataFrame([], "n_docs long, n_tokens long")
     return _split_df(spark, units, n_tasks).mapInArrow(

@@ -52,6 +52,37 @@ def test_file_source_full_job(spark, tmp_path_factory):
     df.unpersist()
 
 
+def test_balanced_groups_cover_order_and_bytes():
+    """_balanced_contiguous_groups: exact coverage in original order,
+    exactly min(n, len) groups, and max group bytes no worse than the
+    binary-search optimum it claims (checked against brute force on
+    small inputs)."""
+    import itertools
+    import random
+    from rle_spark.sources import _balanced_contiguous_groups
+
+    def brute_opt(byts, n):
+        # min over all contiguous partitions into exactly n groups
+        m = len(byts)
+        best = sum(byts)
+        for cuts in itertools.combinations(range(1, m), n - 1):
+            bounds = [0, *cuts, m]
+            best = min(best, max(sum(byts[a:b])
+                                 for a, b in zip(bounds, bounds[1:])))
+        return best
+
+    rng = random.Random(7)
+    for trial in range(60):
+        m = rng.randint(1, 9)
+        units = [("p", i, i + 1, rng.randint(1, 100)) for i in range(m)]
+        n = rng.randint(1, 12)
+        gs = _balanced_contiguous_groups(units, n)
+        assert len(gs) == min(n, m)
+        assert [u for g in gs for u in g] == units  # order + coverage
+        got = max(sum(u[3] for u in g) for g in gs)
+        assert got == brute_opt([u[3] for u in units], min(n, m))
+
+
 def test_split_planning_covers_all_row_groups(spark, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("fsrc3"))
     df = token_table(spark, 60, seed=23)
