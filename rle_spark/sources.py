@@ -438,9 +438,11 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
     os.makedirs(lineage_dir, exist_ok=True)
 
     def it(batches):
+        import time as _t
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
+        _task_t0 = _t.time()
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         # attempt-scoped tmp name: a speculative/zombie duplicate attempt
@@ -486,10 +488,14 @@ def encode_parquet_dir_direct(spark: SparkSession, src_dir: str,
                 g[4] += int(cb)
 
         def lineage_record():
+            # task_wall_sec: per-partition timing metric — the skew
+            # audit column (which task was the straggler, and was it
+            # bytes or content) without any cluster-UI scrape
             return {"file": os.path.basename(final), "splits": consumed,
                     "n_blocks": n_blocks, "n_docs": n_docs,
                     "n_tokens": n_tokens, "orig_bytes": orig,
                     "comp_bytes": comp,
+                    "task_wall_sec": round(_t.time() - _task_t0, 3),
                     "groups": [[s, b, c, *v]
                                for (s, b, c), v in sorted(groups.items())]}
 
