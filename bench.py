@@ -124,7 +124,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, list]]:
 
 
 def encode_run(cpus: int, src_path: str, out_dir: str,
-               stage_runs: int = 3, job_runs: int = 1,
+               stage_runs: int = 3, job_runs: int = 3,
                dry_src: str | None = None) -> dict:
     """Encode measurements (mapside layout) at the given parallelism.
 
@@ -203,19 +203,15 @@ def encode_run(cpus: int, src_path: str, out_dir: str,
             orig, comp = int(row["o"]), int(row["c"])
         job_walls = []
         summary = None
-        # untimed dry job (same protocol as the stage/decode legs,
-        # reference src/main.c:808-811): first run pays writer-path
-        # warm-up (zstd contexts, parquet writer import) ~1.2-2x —
-        # the small twin corpus warms exactly those paths; the timed
-        # job's scan/encode span is already steady from the stage reps
-        shutil.rmtree(out_dir, ignore_errors=True)
-        if use_files:
-            encode_parquet_dir_direct(spark, dry_path, out_dir, cfg,
-                                      target_split_bytes=16 << 20,
-                                      n_tasks=n_tasks)
-        else:
-            encode_table(spark, spark.read.parquet(dry_path), out_dir, cfg,
-                         resume=False)
+        # FIXED job_runs timed full jobs, fastest recorded, EVERY wall
+        # in the artifact. No separate dry job: the stage reps already
+        # warmed scan/encode, and the remaining writer-path warm-up
+        # (zstd contexts, parquet writer import) decays over the first
+        # runs (measured 6.4 -> 2.1 -> 1.6 -> 1.55 s at local[4]) —
+        # with a dry + SINGLE timed job the recorded wall sat at the
+        # still-warming second-run position ~35% above steady state;
+        # min-of-3 observes steady state directly (reference
+        # fastest-run protocol, src/main.c:828)
         for _ in range(job_runs):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
@@ -374,8 +370,68 @@ def main():
         return
     results: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1], "unit": "sec"}
 
+    do_queries = os.environ.get("RLE_BENCH_SKIP_QUERIES") != "1"
+    do_scaling = os.environ.get("RLE_BENCH_SKIP_SCALING") != "1"
+    lo, hi = SCALE_PAIR
+    ratio = hi / lo
+    bench_root = ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    src = f"{bench_root}/rle_bench_tokens_{BENCH_DOCS}"
+
+    def run_scaling_block(b: int) -> dict[int, list]:
+        legs: dict[int, list] = {lo: [], hi: []}
+        for i in range(SCALE_RUNS):
+            # full-size dry passes (dry_src=None): a 1/16 twin was
+            # tried and reverted — it leaves the first full-size
+            # rep cold and the 4-cpu leg never reliably reaches
+            # steady state within 3 reps (hi-leg minima 8.3-8.4 s
+            # under the twin vs 7.6-8.1 s under full dry; the
+            # fixed warm-up shortfall is ~7% of an 8 s hi wall but
+            # ~2% of a 27 s lo wall, directly depressing the ratio)
+            for c in (lo, hi):
+                legs[c].append(encode_run_subprocess(
+                    c, src, f"{bench_root}/rle_bench_out_{c}"))
+            wl = min(r["wall_sec"] for r in legs[lo])
+            wh = min(r["wall_sec"] for r in legs[hi])
+            log(f"scaling block {b + 1}/{SCALE_BLOCKS} round "
+                f"{i + 1}/{SCALE_RUNS}: block best-of eff "
+                f"{(wl / wh) / ratio:.3f}")
+        return legs
+
+    # Within a block, legs interleave lo/hi so the host's slow
+    # phases hit both sides; the best leg per block is reported
+    # (the reference tracks the fastest run the same way,
+    # src/main.c:828). The host's slow memory phases last MINUTES
+    # (BENCH.md): extra in-JVM reps inside one subprocess all land
+    # in the same phase, so the variance lever is fresh-JVM ROUNDS
+    # spaced over time, grouped into SCALE_BLOCKS independent
+    # blocks; the recorded number is the per-leg minimum over all
+    # rounds (see the SCALE_BLOCKS comment above). FIXED round and
+    # block counts (round-3/4 advice): no result-conditioned
+    # stopping, every raw wall recorded. Block 1 runs BEFORE the
+    # query section and the rest after, so the blocks span the whole
+    # invocation's wall clock — maximal time separation between
+    # fresh-JVM sweeps for the multi-minute host phases, at zero
+    # added cost (count and order are fixed up front, never
+    # result-conditioned).
+    blocks: list[dict[int, list]] = []
+    if do_scaling:
+        # corpus + sink live in shm (like spark.local.dir): the legs
+        # measure the encode pipeline, not this sandbox's single disk —
+        # a real cluster's executors write to object storage whose
+        # bandwidth scales with the node count, the opposite of one
+        # shared local disk
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
+            spark = make_spark(CPUS, "bench-gen")
+            spark.sparkContext.setLogLevel("ERROR")
+            from rle_spark.datagen import token_table
+            token_table(spark, BENCH_DOCS, seed=42).write.mode(
+                "overwrite").parquet(src)
+            spark.stop()
+        blocks.append(run_scaling_block(0))
+
     # 1) headline queries at local[CPUS]
-    if os.environ.get("RLE_BENCH_SKIP_QUERIES") == "1":
+    if not do_queries:
         queries, query_walls = {}, {}
     else:
         spark = make_spark(CPUS, "bench-queries")
@@ -394,56 +450,12 @@ def main():
         "query_walls": query_walls,
     })
 
-    # 2) encode throughput scaling (N vs 4N threads, same input)
-    if os.environ.get("RLE_BENCH_SKIP_SCALING") != "1":
-        # corpus + sink live in shm (like spark.local.dir): the legs
-        # measure the encode pipeline, not this sandbox's single disk —
-        # a real cluster's executors write to object storage whose
-        # bandwidth scales with the node count, the opposite of one
-        # shared local disk
-        bench_root = ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
-        src = f"{bench_root}/rle_bench_tokens_{BENCH_DOCS}"
-        if not os.path.exists(os.path.join(src, "_SUCCESS")):
-            log(f"generating {BENCH_DOCS} synthetic docs -> {src}")
-            spark = make_spark(CPUS, "bench-gen")
-            spark.sparkContext.setLogLevel("ERROR")
-            from rle_spark.datagen import token_table
-            token_table(spark, BENCH_DOCS, seed=42).write.mode(
-                "overwrite").parquet(src)
-            spark.stop()
-        lo, hi = SCALE_PAIR
-        ratio = hi / lo
-        # Within a block, legs interleave lo/hi so the host's slow
-        # phases hit both sides; the best leg per block is reported
-        # (the reference tracks the fastest run the same way,
-        # src/main.c:828). The host's slow memory phases last MINUTES
-        # (BENCH.md): extra in-JVM reps inside one subprocess all land
-        # in the same phase, so the variance lever is fresh-JVM ROUNDS
-        # spaced over time, grouped into SCALE_BLOCKS independent
-        # blocks; the recorded number is the per-leg minimum over all
-        # rounds (see the SCALE_BLOCKS comment above). FIXED round and
-        # block counts (round-3/4 advice): no result-conditioned
-        # stopping, every raw wall recorded.
-        blocks: list[dict[int, list]] = []
-        for b in range(SCALE_BLOCKS):
-            legs: dict[int, list] = {lo: [], hi: []}
-            blocks.append(legs)
-            for i in range(SCALE_RUNS):
-                # full-size dry passes (dry_src=None): a 1/16 twin was
-                # tried and reverted — it leaves the first full-size
-                # rep cold and the 4-cpu leg never reliably reaches
-                # steady state within 3 reps (hi-leg minima 8.3-8.4 s
-                # under the twin vs 7.6-8.1 s under full dry; the
-                # fixed warm-up shortfall is ~7% of an 8 s hi wall but
-                # ~2% of a 27 s lo wall, directly depressing the ratio)
-                for c in (lo, hi):
-                    legs[c].append(encode_run_subprocess(
-                        c, src, f"{bench_root}/rle_bench_out_{c}"))
-                wl = min(r["wall_sec"] for r in legs[lo])
-                wh = min(r["wall_sec"] for r in legs[hi])
-                log(f"scaling block {b + 1}/{SCALE_BLOCKS} round "
-                    f"{i + 1}/{SCALE_RUNS}: block best-of eff "
-                    f"{(wl / wh) / ratio:.3f}")
+    # 2) encode throughput scaling (N vs 4N threads, same input) —
+    # remaining blocks, time-separated from block 1 by the query
+    # section above
+    if do_scaling:
+        for b in range(1, SCALE_BLOCKS):
+            blocks.append(run_scaling_block(b))
 
         def _block_eff(legs, key) -> float:
             bl = min(w for r in legs[lo] for w in r[key])
