@@ -66,19 +66,31 @@ def split_runs_literals(sym: np.ndarray, min_run: int = DEFAULT_MIN_RUN):
     lit_ends = np.concatenate((run_starts, [n]))
     lit_lens = (lit_ends - lit_starts).astype(np.int64)
     total_lit = int(lit_lens.sum())
-    if total_lit:
-        # boolean-mask compress beats a fancy-index gather: one bool
-        # repeat (1 B/elem) + one C-kernel compress, no 8 B/elem
-        # position array
-        k = len(run_lens)
+    k = len(run_lens)
+    if not total_lit:
+        lit_values = sym[:0]
+    elif k * 2500 < n:
+        # few runs (the token-corpus shape: ~0.3 runs/ktok): copy the
+        # k+1 contiguous literal spans with plain slices — memcpy
+        # speed, no O(n) mask build. The python loop is over RUNS, not
+        # elements, so it stays O(k) with k bounded by the threshold.
+        out = np.empty(total_lit, dtype=sym.dtype)
+        pos = 0
+        for s, e in zip(lit_starts.tolist(), lit_ends.tolist()):
+            if e > s:
+                out[pos:pos + e - s] = sym[s:e]
+                pos += e - s
+        lit_values = out
+    else:
+        # run-dense: boolean-mask compress beats both the slice loop
+        # and a fancy-index gather — one bool repeat (1 B/elem) + one
+        # C-kernel compress, no 8 B/elem position array
         seg = np.empty(2 * k + 1, dtype=np.int64)
         seg[0::2] = lit_lens
         seg[1::2] = run_lens
         flags = np.zeros(2 * k + 1, dtype=bool)
         flags[0::2] = True
         lit_values = sym[np.repeat(flags, seg)]
-    else:
-        lit_values = sym[:0]
     return run_starts, run_lens, run_values, lit_lens, lit_values
 
 

@@ -24,12 +24,17 @@ import numpy as np
 from .codecs import PROBE_CODECS, MAX_EFFORT_CODECS, REGISTRY
 from .codecs.base import find_runs
 
-SAMPLE_DISTINCT = 1 << 16
+SAMPLE_DISTINCT = 1 << 13
 
 
 def block_stats(arr: np.ndarray) -> dict:
-    """O(n) vectorized feature pass (the --analyze analogue)."""
-    a = np.ascontiguousarray(arr, dtype=np.int64)
+    """O(n) vectorized feature pass (the --analyze analogue).
+
+    Runs in the source dtype: the old int64 promotion was a full
+    extra pass + 8 B/elem allocation per stats call, and the delta
+    min/max only needs the int64 range in the SUBTRACT output dtype
+    (fused, no intermediate)."""
+    a = np.ascontiguousarray(arr)
     n = len(a)
     st: dict = {"n": n}
     if n == 0:
@@ -39,9 +44,16 @@ def block_stats(arr: np.ndarray) -> dict:
         return st
     st["vmin"] = int(a.min())
     st["vmax"] = int(a.max())
-    d = np.diff(a, prepend=0)
-    st["dmin"] = int(d.min())
-    st["dmax"] = int(d.max())
+    # delta stats with d[0] = a[0] - 0 (the np.diff(prepend=0)
+    # convention the estimates were calibrated on), a[0] folded in
+    # scalar-side instead of materializing the prepended array
+    a0 = int(a[0])
+    if n > 1:
+        d = np.subtract(a[1:], a[:-1], dtype=np.int64)
+        st["dmin"] = min(int(d.min()), a0)
+        st["dmax"] = max(int(d.max()), a0)
+    else:
+        st["dmin"] = st["dmax"] = a0
     starts, lens = find_runs(a)
     st["n_runs"] = len(lens)
     emit = lens >= 3
@@ -75,9 +87,13 @@ class SelectorConfig:
     allow: list[str] = field(default_factory=list)  # allow-list; [] = all
     probe_run_frac: float = 0.7  # probe byte-image codecs when
                                  # n_runs/n below this (repetitive data)
-    memo_every: int = 16  # full re-selection every Nth block per group;
+    memo_every: int = 32  # full re-selection every Nth block per group;
                           # in between, encode with the sticky winner
                           # (raw-guarded). 1 = always full selection.
+                          # 32: the amortized stats+trial overhead is
+                          # ~5% of the winner's encode cost; the raw
+                          # guard still catches a distribution collapse
+                          # on EVERY block in between.
 
 
 def select_and_encode(arr: np.ndarray, cfg: SelectorConfig | None = None,
