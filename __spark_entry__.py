@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_run_histogram": Q.q_exact_run_histogram,
         "width4_run_histogram": Q.q_width4_run_histogram,
         "unaligned4_run_histogram": Q.q_unaligned4_run_histogram,
+        "width6_run_histogram": Q.q_width6_run_histogram,
+        "unaligned6_run_histogram": Q.q_unaligned6_run_histogram,
         "width8_run_histogram": Q.q_width8_run_histogram,
         "unaligned8_run_histogram": Q.q_unaligned8_run_histogram,
         "width16_run_histogram": Q.q_width16_run_histogram,
@@ -256,7 +258,7 @@ def oracle_sql() -> dict[str, str]:
              CAST(count(*) AS BIGINT) AS n_runs
       FROM runs WHERE eq GROUP BY 1 ORDER BY 1"""
 
-    for _w in (2, 3, 4, 8, 16):
+    for _w in (2, 3, 4, 6, 8, 16):
         sql[f"width{_w}_run_histogram"] = _width_hist_sql(_w)
         sql[f"unaligned{_w}_run_histogram"] = _unaligned_hist_sql(_w)
 

@@ -91,6 +91,20 @@ def q_unaligned3_run_histogram(spark, sf_dir):
                                            "l_returnflag", LINE_ORDER, 3)
 
 
+def q_width6_run_histogram(spark, sf_dir):
+    """Second non-power-of-two width (6 = 2*3, composite): the
+    trailing-partial-symbol and per-task phase-offset math must hold
+    where neither 2 nor 3 alone proves it — the reference's sweep
+    covers 6 explicitly (src/main.c:1246-2257)."""
+    return analyze.sym_width_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 6)
+
+
+def q_unaligned6_run_histogram(spark, sf_dir):
+    return analyze.unaligned_run_histogram(_ts(spark, sf_dir, "lineitem"),
+                                           "l_returnflag", LINE_ORDER, 6)
+
+
 def q_exact_run_histogram(spark, sf_dir):
     return analyze.exact_run_length_histogram(
         _ts(spark, sf_dir, "lineitem"), "l_returnflag", LINE_ORDER)

@@ -352,6 +352,9 @@ def test_low_entropy_single_restricts_to_argmax_symbol():
                                    "rle32_3sl_byte_short_greedy",
                                    "rle32_1sl_short", "rle32_7sl_short",
                                    "rle16_7sl_short", "rle48_7sl_short",
+                                   "rle16_1sl_short", "rle24_1sl_short",
+                                   "rle48_1sl_short", "rle64_1sl_short",
+                                   "rle24_7sl_short", "rle64_7sl_short",
                                    "rle32_sym_interleaved",
                                    "rle32_sym_packed",
                                    "rle8_interleaved", "rle8_packed",
