@@ -257,14 +257,19 @@ def _unpack_bits_u32(buf, width: int, n: int) -> np.ndarray:
 
 def unpack_ints(buf: bytes | memoryview, out_dtype=None) -> np.ndarray:
     """Decode pack_ints. With out_dtype=int32 the stream is emitted
-    directly as int32 whenever lo + 2^w - 1 provably fits (remainders
-    are in [0, 2^w-1], so the mod-2^32 add is exact when the true value
-    fits) — callers must still accept an int64 fallback."""
+    directly as int32 whenever w <= 32 and lo itself fits int32: the
+    remainders are in [0, 2^w-1] and int32 adds wrap mod 2^32, so the
+    emitted two's-complement values equal the true values EXACTLY
+    whenever those true values fit int32 — which out_dtype=int32
+    callers assert by construction (every call site decodes a stream
+    that was encoded FROM int32 data: tokens, dict codes, literal
+    values). A wider-than-int32 true value would be wrong in an int32
+    output under any arithmetic; callers must still accept an int64
+    fallback for the lo/width guard."""
     mv = memoryview(buf)
     lo, w, n = struct.unpack_from("<qBQ", mv, 0)
     if (out_dtype is not None and np.dtype(out_dtype) == np.int32
-            and w <= 32 and -(1 << 31) <= lo
-            and lo + (1 << w) - 1 <= (1 << 31) - 1):
+            and w <= 32 and -(1 << 31) <= lo <= (1 << 31) - 1):
         vals32 = _unpack_bits_u32(mv[17:], w, n).view(np.int32)
         if lo:
             np.add(vals32, np.int32(lo), out=vals32)

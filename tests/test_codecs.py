@@ -128,17 +128,22 @@ def test_unpack_ints_int32_emission(lo, span_bits):
 
 
 def test_unpack_ints_int32_fallback():
-    """Values outside int32 (or a width bound that can't prove the fit)
-    must fall back to exact int64 output."""
+    """A frame-of-reference lo outside int32 must fall back to exact
+    int64 output; any int32-valued stream takes the int32 path and
+    decodes exactly — including full-span (w=32) streams where the
+    old width-bound guard (lo + 2^w - 1 <= int32max) was too
+    conservative: the mod-2^32 add is exact whenever the TRUE values
+    fit int32, which is the out_dtype=int32 caller contract."""
     v = np.array([-2**40, 2**40, 0, 7], dtype=np.int64)
     out = unpack_ints(pack_ints(v), out_dtype=np.int32)
     assert out.dtype == np.int64
     np.testing.assert_array_equal(out, v)
-    # lo fits int32 but lo + 2^w - 1 overflows: must also fall back
-    w = np.array([2**31 - 2, -5], dtype=np.int64)
+    # full int32 span (w=32, lo + 2^w - 1 overflows int32): the int32
+    # emission engages and stays exact
+    w = np.array([2**31 - 2, -5, -2**31, 2**31 - 1], dtype=np.int64)
     out = unpack_ints(pack_ints(w), out_dtype=np.int32)
-    assert out.dtype == np.int64
-    np.testing.assert_array_equal(out, w)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out.astype(np.int64), w)
 
 
 def test_sections_tail_safety():
